@@ -1,0 +1,368 @@
+"""Shared Flax building blocks for the model zoo.
+
+Numerics deliberately match the torch reference so that converted weights
+produce identical logits:
+
+* Linear init: normal(σ=0.02) weights, zero bias — the reference's recursive
+  init policy (reference: models/vit.py:266-274).
+* LayerNorm: eps 1e-5 (torch default).
+* GELU: exact (erf) form — torch ``nn.GELU()`` default.
+* Fused qkv layout: output dim ordered [q | k | v], contiguous heads within
+  each (reference: models/vit.py:90-92).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from focused_attention_vit_tpu.ops import attention as attn_ops
+from focused_attention_vit_tpu.ops import window as window_ops
+from focused_attention_vit_tpu.ops.patch_embed import extract_patches
+
+# Reference init policy: all Linear weights ~ N(0, 0.02), biases zero
+# (reference: models/vit.py:266-271).
+dense_init = nn.initializers.normal(stddev=0.02)
+
+
+class PatchEmbedding(nn.Module):
+    """Patchify + linear projection (reference: models/vit.py:19-53).
+
+    Input is NHWC (TPU-native). The flattened-patch ordering (p1, p2, c)
+    matches the reference Rearrange so converted torch weights line up.
+    """
+
+    patch_size: int = 16
+    embed_dim: int = 768
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        patches = extract_patches(images, self.patch_size)
+        return nn.Dense(
+            self.embed_dim,
+            kernel_init=dense_init,
+            dtype=self.dtype,
+            name="projection",
+        )(patches)
+
+
+class MLP(nn.Module):
+    """fc1 → GELU → drop → fc2 → drop (reference: models/vit.py:107-139)."""
+
+    hidden_dim: int
+    out_dim: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        x = nn.Dense(
+            self.hidden_dim, kernel_init=dense_init, dtype=self.dtype, name="fc1"
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(
+            self.out_dim, kernel_init=dense_init, dtype=self.dtype, name="fc2"
+        )(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class MultiHeadAttention(nn.Module):
+    """Fused-qkv multi-head self-attention (reference: models/vit.py:56-104).
+
+    ``use_flash=None`` auto-selects the Pallas flash kernel for long
+    sequences on TPU.
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    use_flash: Optional[bool] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        qkv = nn.Dense(
+            3 * self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="qkv"
+        )(x)
+        q, k, v = attn_ops.qkv_split(qkv, self.num_heads)
+        out = attn_ops.multi_head_attention(q, k, v, use_flash=self.use_flash)
+        # Attention-weight dropout is a no-op in eval mode; in the fused
+        # kernel path weight dropout is not applied (documented deviation —
+        # the reference never trains with attn_dropout > 0 by default).
+        out = attn_ops.merge_heads(out)
+        out = nn.Dense(
+            self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="proj"
+        )(out)
+        return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+
+class MultiHeadLatentAttention(nn.Module):
+    """Windowed latent attention (reference: models/mhla.py:17-161).
+
+    A shared ``latent_proj: Dense(head_dim → head_dim)`` is applied to K and
+    V of every head before window-local attention with the reference's
+    edge-padding rule (see ops/window.py).
+    """
+
+    embed_dim: int
+    num_heads: int
+    window_size: int = 7
+    dropout: float = 0.0
+    use_fused_kernel: Optional[bool] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        qkv = nn.Dense(
+            3 * self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="qkv"
+        )(x)
+        q, k, v = attn_ops.qkv_split(qkv, self.num_heads)  # [B, h, S, d]
+        latent = nn.Dense(
+            self.embed_dim // self.num_heads,
+            kernel_init=dense_init,
+            dtype=self.dtype,
+            name="latent_proj",
+        )
+        k = latent(k)
+        v = latent(v)
+
+        out = window_ops.windowed_latent_attention(
+            q, k, v, self.window_size, attention_mask
+        )
+        out = attn_ops.merge_heads(out)
+        out = nn.Dense(
+            self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="proj"
+        )(out)
+        return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LN block: x += attn(LN(x)); x += mlp(LN(x))
+    (reference: models/vit.py:142-179)."""
+
+    embed_dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    attn_dropout: float = 0.0
+    use_flash: Optional[bool] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = x + MultiHeadAttention(
+            self.embed_dim,
+            self.num_heads,
+            dropout=self.attn_dropout,
+            use_flash=self.use_flash,
+            dtype=self.dtype,
+            name="attn",
+        )(y, deterministic=deterministic)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        x = x + MLP(
+            int(self.embed_dim * self.mlp_ratio),
+            self.embed_dim,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="mlp",
+        )(y, deterministic=deterministic)
+        return x
+
+
+class MHLATransformerBlock(nn.Module):
+    """Pre-LN block wrapping MHLA (reference: models/mhla.py:164-222)."""
+
+    embed_dim: int
+    num_heads: int
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    attn_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = x + MultiHeadLatentAttention(
+            self.embed_dim,
+            self.num_heads,
+            window_size=self.window_size,
+            dropout=self.attn_dropout,
+            dtype=self.dtype,
+            name="attn",
+        )(y, attention_mask, deterministic=deterministic)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        x = x + MLP(
+            int(self.embed_dim * self.mlp_ratio),
+            self.embed_dim,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="mlp",
+        )(y, deterministic=deterministic)
+        return x
+
+
+class SwitchableTransformerBlock(nn.Module):
+    """MHA/MHLA-switchable block (reference: models/vit_mhla.py:20-109;
+    duplicated at models/sppp_mhla.py:21-110 — deduplicated here)."""
+
+    embed_dim: int
+    num_heads: int
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    attn_dropout: float = 0.0
+    use_mhla: bool = True
+    use_flash: Optional[bool] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        if self.use_mhla:
+            attn_out = MultiHeadLatentAttention(
+                self.embed_dim,
+                self.num_heads,
+                window_size=self.window_size,
+                dropout=self.attn_dropout,
+                dtype=self.dtype,
+                name="attn",
+            )(y, deterministic=deterministic)
+        else:
+            attn_out = MultiHeadAttention(
+                self.embed_dim,
+                self.num_heads,
+                dropout=self.attn_dropout,
+                use_flash=self.use_flash,
+                dtype=self.dtype,
+                name="attn",
+            )(y, deterministic=deterministic)
+        x = x + attn_out
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        x = x + MLP(
+            int(self.embed_dim * self.mlp_ratio),
+            self.embed_dim,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="mlp",
+        )(y, deterministic=deterministic)
+        return x
+
+
+class CrossAttention(nn.Module):
+    """Single-head cross-attention with FULL-dim scaling
+    (reference: models/attention.py:17-78 — note ``embed_dim**0.5`` scale at
+    line 63-64, not head-dim; reproduced faithfully)."""
+
+    embed_dim: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key_value: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        q = nn.Dense(self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="q_proj")(query)
+        k = nn.Dense(self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="k_proj")(key_value)
+        v = nn.Dense(self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="v_proj")(key_value)
+        out = attn_ops.scaled_dot_product_attention(
+            q, k, v, mask=attention_mask, scale=self.embed_dim**-0.5
+        )
+        return nn.Dense(
+            self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="out_proj"
+        )(out)
+
+
+class MultiHeadCrossAttention(nn.Module):
+    """Multi-head cross-attention with head-dim scaling
+    (reference: models/attention.py:81-148)."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key_value: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        q = nn.Dense(self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="q_proj")(query)
+        k = nn.Dense(self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="k_proj")(key_value)
+        v = nn.Dense(self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="v_proj")(key_value)
+        q = attn_ops.split_heads(q, self.num_heads)
+        k = attn_ops.split_heads(k, self.num_heads)
+        v = attn_ops.split_heads(v, self.num_heads)
+        mask = attention_mask[:, None] if attention_mask is not None else None
+        out = attn_ops.scaled_dot_product_attention(q, k, v, mask=mask)
+        out = attn_ops.merge_heads(out)
+        return nn.Dense(
+            self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="out_proj"
+        )(out)
+
+
+class CrossAttentionTransformerBlock(nn.Module):
+    """Cross-attention block with separate query/kv input norms
+    (reference: models/attention.py:151-219)."""
+
+    embed_dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    attn_dropout: float = 0.0
+    use_multi_head: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key_value: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        qn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1_query")(query)
+        kvn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1_kv")(key_value)
+        if self.use_multi_head:
+            attn_out = MultiHeadCrossAttention(
+                self.embed_dim, self.num_heads, dropout=self.attn_dropout,
+                dtype=self.dtype, name="attn",
+            )(qn, kvn, attention_mask, deterministic=deterministic)
+        else:
+            attn_out = CrossAttention(
+                self.embed_dim, dropout=self.attn_dropout, dtype=self.dtype,
+                name="attn",
+            )(qn, kvn, attention_mask, deterministic=deterministic)
+        query = query + attn_out
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(query)
+        query = query + MLP(
+            int(self.embed_dim * self.mlp_ratio),
+            self.embed_dim,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="mlp",
+        )(y, deterministic=deterministic)
+        return query

@@ -1,0 +1,100 @@
+"""SPPP Vision Transformer (reference: models/sppp.py:303-521), TPU-native.
+
+The reference model is unconstructible as shipped (it references the
+non-existent ``VisionTransformer.TransformerBlock``, models/sppp.py:378 —
+SURVEY.md §2.1); this rebuild uses the standard pre-LN block, which is the
+documented intent.
+
+The whole forward — including SLIC — runs as one jitted XLA program at
+R+1 = num_superpixels+1 tokens.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from focused_attention_vit_tpu.models.layers import (
+    PatchEmbedding,
+    TransformerBlock,
+    dense_init,
+)
+from focused_attention_vit_tpu.models.sppp_common import sppp_tokens
+
+param_init = nn.initializers.normal(stddev=0.02)
+
+
+class SPPPViT(nn.Module):
+    """ViT with Superpixel Patch Pooling; attributes mirror the reference
+    constructor (models/sppp.py:308-324)."""
+
+    img_size: int = 224
+    patch_size: int = 4
+    in_channels: int = 3
+    num_classes: int = 1000
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    attn_dropout: float = 0.0
+    embed_dropout: float = 0.0
+    num_superpixels: int = 16
+    compactness: float = 0.1
+    pooling_type: str = "mean"
+    slic_iters: int = 10
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.patch_embed = PatchEmbedding(
+            patch_size=self.patch_size,
+            embed_dim=self.embed_dim,
+            dtype=self.dtype,
+            name="patch_embed",
+        )
+        self.cls_token = self.param(
+            "cls_token", param_init, (1, 1, self.embed_dim), jnp.float32
+        )
+        self.pos_drop = nn.Dropout(self.embed_dropout)
+        self.blocks = [
+            TransformerBlock(
+                self.embed_dim,
+                self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                dropout=self.dropout,
+                attn_dropout=self.attn_dropout,
+                use_flash=False,  # R+1 tokens: tiny attention, einsum path
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )
+            for i in range(self.depth)
+        ]
+        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
+        self.head = nn.Dense(
+            self.num_classes, kernel_init=dense_init, dtype=self.dtype, name="head"
+        )
+
+    def forward_features(
+        self, x: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        patch_embeddings = self.patch_embed(x)  # [B, N, D]
+        tokens = sppp_tokens(
+            x,
+            patch_embeddings,
+            self.cls_token,
+            patch_size=self.patch_size,
+            num_superpixels=self.num_superpixels,
+            compactness=self.compactness,
+            pooling_type=self.pooling_type,
+            slic_iters=self.slic_iters,
+        )
+        # Reference applies embed_dropout inside DynamicPositionalEncoding
+        # (models/sppp.py:300); applied here after the encoding is added.
+        tokens = self.pos_drop(tokens, deterministic=deterministic)
+        for block in self.blocks:
+            tokens = block(tokens, deterministic=deterministic)
+        tokens = self.norm(tokens)
+        return tokens[:, 0]
+
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        return self.head(self.forward_features(x, deterministic=deterministic))

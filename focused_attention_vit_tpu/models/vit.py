@@ -1,0 +1,105 @@
+"""Vision Transformer (reference: models/vit.py:182-331), TPU-native.
+
+Input layout is NHWC. The full forward compiles to one XLA program; the
+per-block attention uses the flash-attention Pallas kernel for long
+sequences (patch_size 4 at 224² → S = 3137 tokens).
+
+Use ``model.apply(vars, x)`` for logits and
+``model.apply(vars, x, method="forward_features")`` for cls-token features
+(mirroring the reference ``forward`` / ``forward_features`` pair,
+models/vit.py:276-322).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from focused_attention_vit_tpu.models.layers import (
+    PatchEmbedding,
+    TransformerBlock,
+    dense_init,
+)
+
+param_init = nn.initializers.normal(stddev=0.02)
+
+
+class VisionTransformer(nn.Module):
+    """ViT classifier; attributes mirror the reference constructor
+    (models/vit.py:199-212)."""
+
+    img_size: int = 224
+    patch_size: int = 4
+    in_channels: int = 3
+    num_classes: int = 1000
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    attn_dropout: float = 0.0
+    embed_dropout: float = 0.0
+    use_flash: Optional[bool] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def num_patches(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+    def setup(self):
+        self.patch_embed = PatchEmbedding(
+            patch_size=self.patch_size,
+            embed_dim=self.embed_dim,
+            dtype=self.dtype,
+            name="patch_embed",
+        )
+        self.cls_token = self.param(
+            "cls_token", param_init, (1, 1, self.embed_dim), jnp.float32
+        )
+        self.pos_embed = self.param(
+            "pos_embed",
+            param_init,
+            (1, self.num_patches + 1, self.embed_dim),
+            jnp.float32,
+        )
+        self.pos_drop = nn.Dropout(self.embed_dropout)
+        self.blocks = [
+            TransformerBlock(
+                self.embed_dim,
+                self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                dropout=self.dropout,
+                attn_dropout=self.attn_dropout,
+                use_flash=self.use_flash,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )
+            for i in range(self.depth)
+        ]
+        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
+        self.head = nn.Dense(
+            self.num_classes, kernel_init=dense_init, dtype=self.dtype, name="head"
+        )
+
+    def forward_features(
+        self, x: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        """[B, H, W, C] images → [B, D] cls-token features."""
+        b = x.shape[0]
+        x = self.patch_embed(x)
+        cls = jnp.broadcast_to(
+            self.cls_token, (b, 1, self.embed_dim)
+        ).astype(x.dtype)
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + self.pos_embed.astype(x.dtype)
+        x = self.pos_drop(x, deterministic=deterministic)
+        for block in self.blocks:
+            x = block(x, deterministic=deterministic)
+        x = self.norm(x)
+        return x[:, 0]
+
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        """[B, H, W, C] → [B, num_classes] logits."""
+        return self.head(self.forward_features(x, deterministic=deterministic))

@@ -1,0 +1,119 @@
+"""MHLA windowed local attention (gather-based reference formulation).
+
+Multi-Head Latent Attention (reference: models/mhla.py:17-161) attends each
+query to a fixed-size window of W keys centred on it, with a shared learned
+"latent" projection applied to K and V before the windowed attention.
+
+The reference builds the ``[S, W]`` window-index table with a Python loop on
+the host *every forward call* (reference: models/mhla.py:46-83). Here the
+table is a closed-form numpy constant computed once at trace time — S and W
+are static under jit, so XLA folds it into the program. The edge rule is
+reproduced exactly for odd W:
+
+* interior query i:            window = [i-hw, ..., i+hw]          (hw = W//2)
+* left edge  (i < hw):         window = [0..i+hw] padded AT THE END with the
+                               *last* sequence index S-1 (reference:
+                               models/mhla.py:74-76)
+* right edge (i+hw >= S):      window = [i-hw..S-1] padded AT THE BEGINNING
+                               with index 0 (reference: models/mhla.py:77-79)
+
+Note the duplicated indices at the edges participate in the softmax with
+their multiplicity — this is part of the defined numerics, not a mask.
+
+For even W the reference loop produces ragged windows and crashes in
+``torch.stack`` (interior windows get W+1 entries); this rebuild defines the
+even case as the asymmetric window [i-hw, i+hw-1] with the same edge-padding
+rules, which degrades gracefully and agrees with the odd case construction.
+
+TPU notes: this module provides the correctness-first gather formulation
+(``jnp.take`` along the key axis). The fused banded-attention Pallas kernel
+in :mod:`focused_attention_vit_tpu.ops.mhla_kernel` implements the same
+numerics without materializing the ``[B, h, S, W, d]`` window tensor and is
+the production path for long sequences.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=64)
+def window_index_table(seq_len: int, window_size: int) -> np.ndarray:
+    """Closed-form ``[S, W]`` int32 window-index table.
+
+    Matches the reference host-loop construction for odd ``window_size``
+    (reference: models/mhla.py:46-83), extended to even sizes as documented
+    in the module docstring.
+    """
+    s, w = seq_len, window_size
+    hw = w // 2
+    # Window end offset: for odd W the reference window is [i-hw, i+hw]
+    # (end = i + hw + 1); for even W we define [i-hw, i+hw-1].
+    up = hw if w % 2 else hw - 1
+    i = np.arange(s, dtype=np.int64)[:, None]  # [S, 1]
+    j = np.arange(w, dtype=np.int64)[None, :]  # [1, W]
+
+    interior = i - hw + j
+    # Left edge (window_start would be < 0): real entries are indices
+    # [0 .. min(i+up, S-1)] placed first, then padded with S-1 at the end.
+    left = np.where(j <= np.minimum(i + up, s - 1), j, s - 1)
+    # Right edge (window_end would exceed S): pad count p = i+up+1-S zeros at
+    # the beginning, then [i-hw .. S-1]. The real entry at slot j is
+    # i - hw + (j - p) ... wait, entries are contiguous: value = i-hw+j-p.
+    p = i + up + 1 - s
+    right = np.where(j >= p, i - hw + j - p, 0)
+
+    # Left branch applies whenever window_start would clamp to 0 (i <= hw):
+    # the reference checks `window_start == 0` and pads at the end
+    # (models/mhla.py:74-76), which takes precedence over the right-edge
+    # rule when S < W.
+    table = np.where(i <= hw, left, np.where(i + up >= s, right, interior))
+    return np.asarray(np.clip(table, 0, s - 1), dtype=np.int32)
+
+
+def windowed_latent_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    window_size: int,
+    attention_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Window-local attention on per-head tensors ``[B, h, S, d]``.
+
+    ``k``/``v`` are expected to already carry the latent projection
+    (reference applies ``latent_proj`` before windowing,
+    models/mhla.py:105-106).
+
+    Args:
+      attention_mask: optional ``[B, S, S]`` mask; entries gathered per
+        window and zero entries filled with -inf
+        (reference: models/mhla.py:136-143).
+
+    Returns:
+      ``[B, h, S, d]`` attention output (pre output-projection).
+    """
+    b, h, s, d = q.shape
+    table = jnp.asarray(window_index_table(s, window_size))  # [S, W]
+
+    # Gather K/V windows along the sequence axis: [B, h, S, W, d].
+    k_win = jnp.take(k, table, axis=2)
+    v_win = jnp.take(v, table, axis=2)
+
+    # Per-query scores against its W keys: [B, h, S, W].
+    logits = jnp.einsum(
+        "bhsd,bhswd->bhsw", q, k_win, preferred_element_type=jnp.float32
+    ) * (d**-0.5)
+
+    if attention_mask is not None:
+        # [B, S, S] -> gather window entries -> [B, 1, S, W]
+        mask_win = jnp.take_along_axis(
+            attention_mask, table[None, :, :], axis=2
+        )[:, None]
+        logits = jnp.where(mask_win == 0, jnp.finfo(logits.dtype).min, logits)
+
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhsw,bhswd->bhsd", weights, v_win)

@@ -1,0 +1,222 @@
+"""Unit tests for the functional ops against reference semantics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from focused_attention_vit_tpu.ops import (
+    extract_patches,
+    window_index_table,
+    dominant_superpixel_per_patch,
+    segment_pool,
+    superpixel_centroids,
+    sinusoidal_positional_encoding,
+    centroid_positional_encoding,
+    slic_segment,
+)
+
+
+class TestPatchExtraction:
+    def test_ordering_matches_reference_rearrange(self, rng):
+        """(p1 p2 c) flattening order, row-major patches
+        (reference: models/vit.py:38-39)."""
+        b, h, w, c, p = 2, 8, 8, 3, 4
+        x = rng.normal(size=(b, h, w, c)).astype(np.float32)
+        out = np.asarray(extract_patches(jnp.asarray(x), p))
+        assert out.shape == (b, 4, p * p * c)
+        # Patch (i=0, j=1) spans rows 0:4, cols 4:8; element (p1, p2, ch)
+        # sits at index (p1*p + p2)*c + ch.
+        expect = x[0, 0:4, 4:8, :].reshape(p * p * c)
+        np.testing.assert_allclose(out[0, 1], expect)
+
+    def test_roundtrip_count(self, rng):
+        x = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+        out = extract_patches(jnp.asarray(x), 4)
+        assert out.shape == (1, 64, 48)
+
+
+def _reference_window_loop(seq_len, window_size):
+    """Direct numpy transcription of the reference edge rule
+    (models/mhla.py:46-83) for odd window sizes."""
+    hw = window_size // 2
+    rows = []
+    for i in range(seq_len):
+        start = max(0, i - hw)
+        end = min(seq_len, i + hw + 1)
+        win = list(range(start, end))
+        if len(win) < window_size:
+            pad = window_size - len(win)
+            if start == 0:
+                win = win + [seq_len - 1] * pad
+            else:
+                win = [0] * pad + win
+        rows.append(win)
+    return np.array(rows, dtype=np.int32)
+
+
+class TestWindowIndexTable:
+    @pytest.mark.parametrize("s,w", [(10, 7), (3137, 7), (5, 3), (17, 5), (3, 7)])
+    def test_matches_reference_rule_odd(self, s, w):
+        np.testing.assert_array_equal(
+            window_index_table(s, w), _reference_window_loop(s, w)
+        )
+
+    def test_even_window_defined(self):
+        """Even windows crash the reference (ragged stack); here they are
+        defined as [i-hw, i+hw-1] with the same edge rules."""
+        t = window_index_table(10, 4)
+        assert t.shape == (10, 4)
+        np.testing.assert_array_equal(t[5], [3, 4, 5, 6])
+        assert (t >= 0).all() and (t < 10).all()
+
+
+def _dict_pool_reference(embeddings, seg_ids, num_segments, pooling):
+    """Numpy transcription of SuperpixelPooling semantics
+    (models/sppp.py:176-189), indexed by segment id with zeros for
+    empty segments (the rebuild's static-shape convention)."""
+    n, d = embeddings.shape
+    out = np.zeros((num_segments, d), dtype=np.float64)
+    for s in range(num_segments):
+        members = embeddings[seg_ids == s]
+        if len(members) == 0:
+            continue
+        if pooling == "mean":
+            out[s] = members.mean(0)
+        elif pooling == "max":
+            out[s] = members.max(0)
+        else:  # attention
+            logits = members.sum(-1)
+            w = np.exp(logits - logits.max())
+            w = w / w.sum()
+            out[s] = (members * w[:, None]).sum(0)
+    return out
+
+
+class TestSegmentPool:
+    @pytest.mark.parametrize("pooling", ["mean", "max", "attention"])
+    def test_matches_dict_semantics(self, rng, pooling):
+        b, n, d, r = 3, 24, 8, 5
+        emb = rng.normal(size=(b, n, d)).astype(np.float32)
+        # Ensure some segments are empty.
+        ids = rng.integers(0, r - 1, size=(b, n)).astype(np.int32)
+        got = np.asarray(
+            segment_pool(jnp.asarray(emb), jnp.asarray(ids), r, pooling)
+        )
+        for bi in range(b):
+            expect = _dict_pool_reference(emb[bi], ids[bi], r, pooling)
+            np.testing.assert_allclose(got[bi], expect, rtol=1e-5, atol=1e-5)
+
+    def test_dominant_assignment(self):
+        """Patch goes to the segment covering most pixels, ties to the
+        smaller id (models/sppp.py:117-126 via sorted torch.unique)."""
+        seg = np.zeros((4, 4), dtype=np.int32)
+        seg[0:2, 0:2] = 1  # patch (0,0) fully segment 1
+        seg[0, 2] = 2      # patch (0,1): 1 pixel of 2, 3 pixels of 0
+        ids = dominant_superpixel_per_patch(jnp.asarray(seg), 2, 4)
+        np.testing.assert_array_equal(np.asarray(ids), [1, 0, 0, 0])
+
+    def test_tie_breaks_to_smaller_id(self):
+        seg = np.array([[3, 3], [1, 1]], dtype=np.int32)
+        ids = dominant_superpixel_per_patch(jnp.asarray(seg), 2, 5)
+        assert int(ids[0]) == 1
+
+
+class TestCentroids:
+    def test_matches_reference_loop(self, rng):
+        """Masked-mean centroids with (0.5, 0.5) for empty segments
+        (models/sppp.py:413-449)."""
+        b, h, w, r = 2, 8, 6, 4
+        seg = rng.integers(0, r - 1, size=(b, h, w)).astype(np.int32)
+        got = np.asarray(superpixel_centroids(jnp.asarray(seg), r))
+        for bi in range(b):
+            ygrid, xgrid = np.meshgrid(
+                np.arange(h) / h, np.arange(w) / w, indexing="ij"
+            )
+            for s in range(r):
+                mask = seg[bi] == s
+                if mask.sum() > 0:
+                    ex = (xgrid * mask).sum() / mask.sum()
+                    ey = (ygrid * mask).sum() / mask.sum()
+                else:
+                    ex = ey = 0.5
+                np.testing.assert_allclose(got[bi, s], [ex, ey], atol=1e-6)
+
+
+class TestPositionalEncodings:
+    def test_sinusoidal_matches_reference_formula(self):
+        """models/sppp.py:258-266."""
+        s, d = 12, 16
+        pe = np.asarray(sinusoidal_positional_encoding(s, d))
+        position = np.arange(s)[:, None]
+        div = np.exp(np.arange(0, d, 2) * (-np.log(10000.0) / d))
+        np.testing.assert_allclose(
+            pe[:, 0::2], np.sin(position * div), atol=2e-5, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            pe[:, 1::2], np.cos(position * div), atol=2e-5, rtol=1e-4
+        )
+
+    def test_centroid_encoding_matches_reference_formula(self, rng):
+        """sin(x·freq) ‖ cos(y·freq) concat with cls centroid prepend
+        (models/sppp.py:271-296)."""
+        b, r, d = 2, 5, 8
+        cents = rng.uniform(size=(b, r, 2)).astype(np.float32)
+        pe = np.asarray(centroid_positional_encoding(jnp.asarray(cents), d, r + 1))
+        assert pe.shape == (b, r + 1, d)
+        half = d // 2
+        freq = np.exp(np.arange(half) * (-np.log(10000.0) / half))
+        # cls token at (0.5, 0.5)
+        np.testing.assert_allclose(
+            pe[:, 0, :half],
+            np.broadcast_to(np.sin(0.5 * freq), (b, half)),
+            atol=1e-5, rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            pe[:, 0, half:],
+            np.broadcast_to(np.cos(0.5 * freq), (b, half)),
+            atol=1e-5, rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            pe[0, 1:, :half], np.sin(cents[0, :, 0:1] * freq), atol=1e-5, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            pe[0, 1:, half:], np.cos(cents[0, :, 1:2] * freq), atol=1e-5, rtol=1e-4
+        )
+
+
+class TestSLIC:
+    def test_labels_shape_and_range(self, rng):
+        img = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+        seg = np.asarray(slic_segment(jnp.asarray(img), num_segments=9))
+        assert seg.shape == (2, 32, 32)
+        assert seg.min() >= 0 and seg.max() < 9
+
+    def test_spatial_locality(self, rng):
+        """On a uniform image, SLIC must return (approximately) the seed
+        grid — every segment spatially compact and all segments used."""
+        img = np.full((1, 32, 32, 3), 0.5, dtype=np.float32)
+        seg = np.asarray(
+            slic_segment(jnp.asarray(img), num_segments=16, compactness=10.0)
+        )[0]
+        assert len(np.unique(seg)) == 16
+        # Each 8x8 grid cell interior should be a single label (the exact
+        # cell boundary is an equidistant tie on a uniform image).
+        for gi in range(4):
+            for gj in range(4):
+                cell = seg[
+                    gi * 8 + 2 : (gi + 1) * 8 - 2, gj * 8 + 2 : (gj + 1) * 8 - 2
+                ]
+                assert len(np.unique(cell)) == 1
+
+    def test_color_boundary_respected(self):
+        """Two clearly separated colors with low compactness → boundary
+        follows color, not only the grid."""
+        img = np.zeros((1, 32, 32, 3), dtype=np.float32)
+        img[:, :, 16:, :] = 1.0
+        seg = np.asarray(
+            slic_segment(jnp.asarray(img), num_segments=4, compactness=0.1)
+        )[0]
+        left = set(np.unique(seg[:, :14]).tolist())
+        right = set(np.unique(seg[:, 18:]).tolist())
+        assert left.isdisjoint(right)

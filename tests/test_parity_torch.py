@@ -1,0 +1,167 @@
+"""Golden-parity tests: converted reference-torch weights → identical logits.
+
+The reference's *constructible* modules (models/vit.py, models/mhla.py,
+models/vit_mhla.py, models/attention.py block level) are executed on CPU in
+eval mode and compared against this framework with converted weights at
+1e-4 (BASELINE.json pretrained-parity target). Unconstructible reference
+paths (SPPPViT, CrossAttention*ViT — SURVEY.md §2.1) are covered by the
+semantics tests in test_ops.py instead.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+sys.path.insert(0, "/root/reference")
+
+import jax.numpy as jnp
+
+from focused_attention_vit_tpu import models as fmodels
+from focused_attention_vit_tpu.convert import (
+    reference_vit_to_flax,
+    reference_vit_mhla_to_flax,
+    reference_cross_block_to_flax,
+)
+
+ATOL = 1e-4
+
+TINY = dict(
+    img_size=16,
+    patch_size=4,
+    in_channels=3,
+    num_classes=7,
+    embed_dim=32,
+    depth=2,
+    num_heads=4,
+    mlp_ratio=4.0,
+    dropout=0.0,
+    attn_dropout=0.0,
+    embed_dropout=0.0,
+)
+
+
+def _rand_images(b=2, s=16, c=3, seed=0):
+    rng = np.random.default_rng(seed)
+    nchw = rng.normal(size=(b, c, s, s)).astype(np.float32)
+    return nchw, nchw.transpose(0, 2, 3, 1)  # torch NCHW, jax NHWC
+
+
+class TestVisionTransformerParity:
+    def test_logits_match(self):
+        from models.vit import VisionTransformer as TorchViT
+
+        torch.manual_seed(0)
+        tm = TorchViT(**TINY).eval()
+        nchw, nhwc = _rand_images()
+        with torch.no_grad():
+            expect = tm(torch.from_numpy(nchw)).numpy()
+
+        jm = fmodels.VisionTransformer(**TINY)
+        params = reference_vit_to_flax(tm.state_dict(), TINY["depth"])
+        got = np.asarray(jm.apply({"params": params}, jnp.asarray(nhwc)))
+        np.testing.assert_allclose(got, expect, atol=ATOL)
+
+    def test_forward_features_match(self):
+        from models.vit import VisionTransformer as TorchViT
+
+        torch.manual_seed(1)
+        tm = TorchViT(**TINY).eval()
+        nchw, nhwc = _rand_images(seed=1)
+        with torch.no_grad():
+            expect = tm.forward_features(torch.from_numpy(nchw)).numpy()
+
+        jm = fmodels.VisionTransformer(**TINY)
+        params = reference_vit_to_flax(tm.state_dict(), TINY["depth"])
+        got = np.asarray(
+            jm.apply(
+                {"params": params}, jnp.asarray(nhwc), method="forward_features"
+            )
+        )
+        np.testing.assert_allclose(got, expect, atol=ATOL)
+
+
+class TestMHLAParity:
+    @pytest.mark.parametrize("window,seq", [(5, 11), (7, 17), (7, 5)])
+    def test_mhla_module(self, window, seq):
+        """Bare MultiHeadLatentAttention vs reference (models/mhla.py:17-161),
+        including edge windows (seq < window in the last case)."""
+        from models.mhla import MultiHeadLatentAttention as TorchMHLA
+
+        torch.manual_seed(2)
+        d, h = 32, 4
+        tm = TorchMHLA(embed_dim=d, num_heads=h, window_size=window).eval()
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(2, seq, d)).astype(np.float32)
+        with torch.no_grad():
+            expect = tm(torch.from_numpy(x)).numpy()
+
+        jm = fmodels.MultiHeadLatentAttention(
+            embed_dim=d, num_heads=h, window_size=window
+        )
+        sd = tm.state_dict()
+
+        def lin(p):
+            return {
+                "kernel": sd[f"{p}.weight"].numpy().T,
+                "bias": sd[f"{p}.bias"].numpy(),
+            }
+
+        params = {
+            "qkv": lin("qkv"),
+            "latent_proj": lin("latent_proj"),
+            "proj": lin("proj"),
+        }
+        got = np.asarray(jm.apply({"params": params}, jnp.asarray(x)))
+        np.testing.assert_allclose(got, expect, atol=ATOL)
+
+    @pytest.mark.parametrize("use_mhla", [True, False])
+    def test_vit_mhla_model(self, use_mhla):
+        """Full VisionTransformerMHLA parity in both attention modes
+        (models/vit_mhla.py:112-267; the use_mhla=False mode exercises the
+        torch nn.MultiheadAttention → fused-qkv mapping)."""
+        from models.vit_mhla import VisionTransformerMHLA as TorchModel
+
+        torch.manual_seed(3)
+        cfg = dict(TINY, window_size=5)
+        tm = TorchModel(**cfg, use_mhla=use_mhla).eval()
+        nchw, nhwc = _rand_images(seed=3)
+        with torch.no_grad():
+            expect = tm(torch.from_numpy(nchw)).numpy()
+
+        jm = fmodels.VisionTransformerMHLA(**cfg, use_mhla=use_mhla)
+        params = reference_vit_mhla_to_flax(
+            tm.state_dict(), cfg["depth"], use_mhla
+        )
+        got = np.asarray(jm.apply({"params": params}, jnp.asarray(nhwc)))
+        np.testing.assert_allclose(got, expect, atol=ATOL)
+
+
+class TestCrossAttentionParity:
+    @pytest.mark.parametrize("use_multi_head", [False, True])
+    def test_cross_block(self, use_multi_head):
+        """CrossAttentionTransformerBlock parity in both modes — covers the
+        full-dim vs head-dim scaling split
+        (models/attention.py:63-64 vs :131)."""
+        from models.attention import CrossAttentionTransformerBlock as TorchBlock
+
+        torch.manual_seed(4)
+        d, h = 32, 4
+        tm = TorchBlock(
+            embed_dim=d, num_heads=h, use_multi_head=use_multi_head
+        ).eval()
+        rng = np.random.default_rng(4)
+        q = rng.normal(size=(2, 9, d)).astype(np.float32)
+        kv = rng.normal(size=(2, 13, d)).astype(np.float32)
+        with torch.no_grad():
+            expect = tm(torch.from_numpy(q), torch.from_numpy(kv)).numpy()
+
+        jm = fmodels.CrossAttentionTransformerBlock(
+            embed_dim=d, num_heads=h, use_multi_head=use_multi_head
+        )
+        params = reference_cross_block_to_flax(tm.state_dict(), "")
+        got = np.asarray(
+            jm.apply({"params": params}, jnp.asarray(q), jnp.asarray(kv))
+        )
+        np.testing.assert_allclose(got, expect, atol=ATOL)
