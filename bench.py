@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Headline benchmark — prints ONE JSON line.
+
+Metric: images/sec/chip, fwd+bwd+AdamW update (the training hot loop) on
+the flagship config — ViT-B/16 @ 224², CIFAR-10 head, bf16 compute — on
+one TPU chip. ``vs_baseline`` compares against the torch-CPU reference
+implementation measured on this machine (see BASELINE.md "Measured
+reference numbers"): 0.516 img/s fwd+bwd.
+
+Extra fields report the MHLA flagship variant and eval throughput; the
+driver's contract only requires metric/value/unit/vs_baseline.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# torch 2.13 CPU, this machine, batch 8 (BASELINE.md) — fwd+bwd img/s.
+TORCH_CPU_VIT_B16_FWD_BWD = 0.516
+TORCH_CPU_MHLA_B16_FWD_BWD = 0.201
+
+
+def bench_train(model, batch, img_size, steps=20, warmup=3, num_classes=10):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from focused_attention_vit_tpu.train.state import TrainState, make_adamw
+    from focused_attention_vit_tpu.train.steps import make_train_step
+
+    rng = np.random.default_rng(0)
+    x_u8 = jnp.asarray(
+        rng.integers(0, 255, size=(batch, 32, 32, 3)), dtype=jnp.uint8
+    )
+    y = jnp.asarray(rng.integers(0, num_classes, size=(batch,)))
+
+    sample = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), sample)["params"]
+    state = TrainState.create(
+        apply_fn=model.apply, params=params, tx=make_adamw(1e-4)
+    )
+    step = make_train_step(img_size, compute_dtype=jnp.bfloat16)
+
+    key = jax.random.PRNGKey(0)
+    for i in range(warmup):
+        state, m = step(state, x_u8, y, jax.random.fold_in(key, i))
+    float(m["loss_sum"])  # host transfer = unconditional sync
+
+    t0 = time.time()
+    for i in range(steps):
+        state, m = step(state, x_u8, y, jax.random.fold_in(key, 100 + i))
+    float(m["loss_sum"])
+    dt = time.time() - t0
+    return batch * steps / dt
+
+
+def main():
+    from focused_attention_vit_tpu.models import (
+        VisionTransformer,
+        VisionTransformerMHLA,
+    )
+    import jax.numpy as jnp
+
+    common = dict(
+        img_size=224,
+        patch_size=16,
+        num_classes=10,
+        embed_dim=768,
+        depth=12,
+        num_heads=12,
+        dropout=0.1,
+        dtype=jnp.bfloat16,
+    )
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+
+    vit_ips = bench_train(VisionTransformer(**common), batch, 224)
+    mhla_ips = bench_train(
+        VisionTransformerMHLA(**common, window_size=7, use_mhla=True),
+        batch,
+        224,
+    )
+
+    result = {
+        "metric": "vit_b16_images_per_sec_per_chip_fwd_bwd",
+        "value": round(vit_ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vit_ips / TORCH_CPU_VIT_B16_FWD_BWD, 1),
+        "extra": {
+            "mhla_b16_images_per_sec_fwd_bwd": round(mhla_ips, 2),
+            "mhla_vs_torch_cpu": round(mhla_ips / TORCH_CPU_MHLA_B16_FWD_BWD, 1),
+            "batch": batch,
+            "compute_dtype": "bfloat16",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""CLI entry point — flag-compatible with the reference main.py:64-149.
+
+Differences by design (documented, SURVEY.md §2.1): the reference main.py
+crashes on import-name mismatches (main.py:41-43); here every experiment
+name dispatches to a working class. ``--device`` is accepted for
+compatibility — JAX selects the TPU/CPU backend itself.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Vision Transformer Experiments")
+
+    # General settings (reference: main.py:69-82)
+    parser.add_argument(
+        "--experiment", type=str, required=True,
+        choices=[
+            "traditional", "traditional_pretrained",
+            "sppp", "sppp_pretrained",
+            "cross_attention", "multihead_cross_attention",
+            "mhla_pretrained", "sppp_mhla_pretrained",
+        ],
+    )
+    parser.add_argument("--data_dir", type=str, default="./data")
+    parser.add_argument("--results_dir", type=str, default="./results")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--device", type=str, default=None)
+
+    # Dataset settings (reference: main.py:85-93)
+    parser.add_argument("--dataset", type=str, default="cifar10",
+                        choices=["cifar10", "cifar100", "imagenet"])
+    parser.add_argument("--img_size", type=int, default=224)
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--subset_size", type=int, default=None)
+
+    # Model settings (reference: main.py:96-111)
+    parser.add_argument("--patch_size", type=int, default=16)
+    parser.add_argument("--embed_dim", type=int, default=768)
+    parser.add_argument("--depth", type=int, default=12)
+    parser.add_argument("--num_heads", type=int, default=12)
+    parser.add_argument("--mlp_ratio", type=float, default=4.0)
+    parser.add_argument("--dropout", type=float, default=0.1)
+    parser.add_argument("--attn_dropout", type=float, default=0.0)
+    parser.add_argument("--embed_dropout", type=float, default=0.0)
+
+    # SPPP settings (reference: main.py:114-120)
+    parser.add_argument("--num_superpixels", type=int, default=16)
+    parser.add_argument("--compactness", type=float, default=0.1)
+    parser.add_argument("--pooling_type", type=str, default="mean",
+                        choices=["mean", "max", "attention"])
+
+    # MHLA settings (reference: main.py:123-124)
+    parser.add_argument("--window_size", type=int, default=7)
+
+    # Training settings (reference: main.py:127-132)
+    parser.add_argument("--epochs", type=int, default=100)
+    parser.add_argument("--learning_rate", type=float, default=1e-4)
+    parser.add_argument("--weight_decay", type=float, default=0.05)
+
+    # Pretrained settings (reference: main.py:135-143)
+    parser.add_argument("--pretrained_model_variant", type=str, default="vit_b_16")
+    parser.add_argument("--pretrained_source", type=str, default="torchvision",
+                        choices=["torchvision", "huggingface"])
+    parser.add_argument("--freeze_layers", action="store_true")
+    parser.add_argument("--head_learning_rate", type=float, default=1e-3)
+
+    # Visualization settings (reference: main.py:146-147)
+    parser.add_argument("--visualize", action="store_true")
+
+    return parser.parse_args(argv)
+
+
+def _common_kwargs(args):
+    return dict(
+        img_size=args.img_size,
+        patch_size=args.patch_size,
+        in_channels=3,
+        num_classes=10 if args.dataset == "cifar10" else 100,
+        embed_dim=args.embed_dim,
+        depth=args.depth,
+        num_heads=args.num_heads,
+        mlp_ratio=args.mlp_ratio,
+        dropout=args.dropout,
+        attn_dropout=args.attn_dropout,
+        embed_dropout=args.embed_dropout,
+        batch_size=args.batch_size,
+        learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay,
+        epochs=args.epochs,
+        device=args.device,
+        data_dir=args.data_dir,
+        results_dir=args.results_dir,
+        subset_size=args.subset_size,
+        dataset=args.dataset,
+        seed=args.seed,
+    )
+
+
+def _pretrained_kwargs(args):
+    return dict(
+        pretrained_model_variant=args.pretrained_model_variant,
+        pretrained_source=args.pretrained_source,
+        freeze_layers=args.freeze_layers,
+        head_learning_rate=args.head_learning_rate,
+    )
+
+
+def _sppp_kwargs(args):
+    return dict(
+        num_superpixels=args.num_superpixels,
+        compactness=args.compactness,
+        pooling_type=args.pooling_type,
+    )
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+        handlers=[
+            logging.FileHandler("vit_experiments.log"),
+            logging.StreamHandler(sys.stdout),
+        ],
+    )
+    logger = logging.getLogger("focused_attention_vit_tpu")
+
+    os.makedirs(args.data_dir, exist_ok=True)
+    os.makedirs(args.results_dir, exist_ok=True)
+
+    import jax
+
+    logger.info("Experiment: %s", args.experiment)
+    logger.info("Dataset: %s", args.dataset)
+    logger.info("Backend: %s (%s)", jax.default_backend(), jax.devices())
+    logger.info("Batch size: %d", args.batch_size)
+    logger.info("Epochs: %d", args.epochs)
+
+    from focused_attention_vit_tpu import experiments as exp
+
+    name = args.experiment
+    if name == "traditional":
+        exp.TraditionalViTExperiment(**_common_kwargs(args)).run()
+    elif name == "traditional_pretrained":
+        exp.PretrainedTraditionalViTExperiment(
+            **_common_kwargs(args), **_pretrained_kwargs(args)
+        ).run()
+    elif name == "sppp":
+        exp.SPPPExperiment(**_common_kwargs(args), **_sppp_kwargs(args)).run()
+    elif name == "sppp_pretrained":
+        exp.PretrainedSPPPExperiment(
+            **_common_kwargs(args), **_sppp_kwargs(args), **_pretrained_kwargs(args)
+        ).run()
+    elif name == "mhla_pretrained":
+        exp.PretrainedMHLAViTExperiment(
+            **_common_kwargs(args), **_pretrained_kwargs(args),
+            window_size=args.window_size,
+        ).run()
+    elif name == "sppp_mhla_pretrained":
+        exp.PretrainedSPPPMHLAExperiment(
+            **_common_kwargs(args), **_sppp_kwargs(args), **_pretrained_kwargs(args),
+            window_size=args.window_size,
+        ).run()
+    elif name == "cross_attention":
+        exp.run_cross_attention_experiments(args)
+    elif name == "multihead_cross_attention":
+        exp.run_multihead_cross_attention_experiments(args)
+    else:  # pragma: no cover — argparse choices guard this
+        logger.error("Unknown experiment: %s", name)
+
+
+if __name__ == "__main__":
+    main()

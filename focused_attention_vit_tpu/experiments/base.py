@@ -1,0 +1,245 @@
+"""Shared experiment machinery.
+
+Every experiment follows the reference five-method protocol
+setup → train → evaluate → save_results → run
+(canonical shape: experiments/traditional.py:110-362) and shares:
+
+* the data loading path (CIFAR-10/100 with ``subset_size`` debugging mode),
+* a memory probe on a sample batch before training, at ``epochs//2`` and
+  after (reference: experiments/traditional.py:167-174, 232-233, 246-248),
+* per-epoch progress lines and a one-row CSV in ``results_dir``
+  (reference: experiments/traditional.py:341-346).
+
+The reference import-name mismatches (main.py:41-43, SURVEY.md §2.1) are
+fixed by exporting both the corrected and the reference spellings.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field, asdict
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import numpy as np
+import pandas as pd
+
+from focused_attention_vit_tpu.data import load_dataset
+from focused_attention_vit_tpu.data.pipeline import (
+    CIFAR10_MEAN,
+    CIFAR10_STD,
+    prepare_eval_batch,
+)
+from focused_attention_vit_tpu.train import (
+    make_train_step,
+    make_eval_step,
+    train_and_evaluate,
+    evaluate,
+)
+from focused_attention_vit_tpu.utils.metrics import (
+    calculate_model_size,
+    calculate_vit_complexity,
+    measure_memory_usage,
+)
+
+
+@dataclass
+class ExperimentBase:
+    """Config + pipeline shared by all experiments.
+
+    Field names mirror the reference constructors 1:1
+    (e.g. experiments/traditional.py:36-57) so CLI flags map straight
+    through.
+    """
+
+    img_size: int = 224
+    patch_size: int = 4
+    in_channels: int = 3
+    num_classes: int = 10
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    dropout: float = 0.1
+    attn_dropout: float = 0.0
+    embed_dropout: float = 0.0
+    batch_size: int = 128
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.05
+    epochs: int = 50
+    device: Optional[str] = None  # accepted for CLI parity; JAX picks the TPU
+    data_dir: str = "./data"
+    results_dir: str = "./results"
+    subset_size: Optional[int] = None
+    dataset: str = "cifar10"
+    seed: int = 42
+
+    # --- subclass hooks -----------------------------------------------------
+    model_display_name: str = "Traditional ViT"
+    csv_filename: str = "exp1_traditional.csv"
+
+    def build_model(self):
+        raise NotImplementedError
+
+    def build_params(self, model, rng, sample):
+        """Default: random init. Pretrained experiments override."""
+        return None  # create_train_state will init
+
+    def build_optimizer(self, params):
+        from focused_attention_vit_tpu.train.state import make_adamw
+
+        return make_adamw(self.learning_rate, self.weight_decay)
+
+    def theoretical_metrics(self) -> Dict[str, Any]:
+        return calculate_vit_complexity(
+            img_size=self.img_size,
+            patch_size=self.patch_size,
+            embed_dim=self.embed_dim,
+            depth=self.depth,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            in_channels=self.in_channels,
+        )
+
+    # --- pipeline -----------------------------------------------------------
+    def setup(self):
+        os.makedirs(self.results_dir, exist_ok=True)
+        self.data = load_dataset(
+            self.dataset,
+            data_dir=self.data_dir,
+            subset_size=self.subset_size,
+            seed=self.seed,
+        )
+        self.model = self.build_model()
+
+        rng = jax.random.PRNGKey(self.seed)
+        sample = self._sample_batch()
+        params = self.build_params(self.model, rng, sample)
+
+        from focused_attention_vit_tpu.train.state import create_train_state
+
+        if params is None:
+            variables = self.model.init(rng, sample)
+            params = variables["params"]
+        tx = self.build_optimizer(params)
+        self.state = create_train_state(self.model, rng, sample, tx, params=params)
+
+        self.metrics: Dict[str, Any] = {}
+        self.metrics["theoretical"] = self.theoretical_metrics()
+        self.metrics["model_size"] = calculate_model_size(self.state.params)
+
+        self.train_step = make_train_step(self.img_size)
+        self.eval_step = make_eval_step(self.img_size)
+
+    def _sample_batch(self):
+        import jax.numpy as jnp
+
+        imgs = self.data["train_images"][: min(8, len(self.data["train_images"]))]
+        return prepare_eval_batch(jnp.asarray(imgs), self.img_size)
+
+    def _memory_probe(self, backward: bool) -> Dict[str, float]:
+        sample = self._sample_batch()
+        apply = lambda p: self.model.apply({"params": p}, sample)
+        try:
+            return measure_memory_usage(apply, self.state.params, backward=backward)
+        except Exception:  # pragma: no cover — probe must never kill a run
+            return {"gpu_memory_peak_mb": 0.0}
+
+    def train(self):
+        memory_usage = [self._memory_probe(backward=False)]
+        half = self.epochs // 2
+
+        def mid_probe(epoch, state):
+            if epoch == half:
+                self.state = state
+                memory_usage.append(self._memory_probe(backward=True))
+
+        results = train_and_evaluate(
+            self.state,
+            self.train_step,
+            self.eval_step,
+            self.data,
+            epochs=self.epochs,
+            batch_size=self.batch_size,
+            seed=self.seed,
+            epoch_callback=mid_probe,
+        )
+        self.state = results.pop("state")
+        memory_usage.append(self._memory_probe(backward=False))
+        results["memory_usage"] = memory_usage
+        self.metrics["training"] = results
+
+    def evaluate(self):
+        ev = evaluate(
+            self.eval_step,
+            self.state,
+            self.data["test_images"],
+            self.data["test_labels"],
+            self.batch_size,
+        )
+        self.metrics["evaluation"] = {
+            "test_loss": ev["loss"],
+            "test_acc": ev["acc"],
+            "avg_inference_time": ev["avg_batch_time"],
+            "avg_inference_time_per_image": ev["avg_image_time"],
+        }
+        print(
+            f"Test Loss: {ev['loss']:.4f} | Test Acc: {ev['acc']:.2f}% | "
+            f"Avg Inference Time per Batch: {ev['avg_batch_time']:.4f}s | "
+            f"Avg Inference Time per Image: {ev['avg_image_time']:.4f}s"
+        )
+
+    # --- results ------------------------------------------------------------
+    def results_row(self) -> Dict[str, Any]:
+        """One-row results dict; the reference exp1 schema
+        (experiments/traditional.py:318-338). Subclasses extend."""
+        th = self.metrics["theoretical"]
+        tr = self.metrics["training"]
+        ev = self.metrics["evaluation"]
+        peak = max(
+            (
+                m.get("gpu_memory_peak_mb", 0.0)
+                for m in tr["memory_usage"]
+            ),
+            default=0.0,
+        )
+        return {
+            "model": self.model_display_name,
+            "img_size": self.img_size,
+            "patch_size": self.patch_size,
+            "embed_dim": self.embed_dim,
+            "depth": self.depth,
+            "num_heads": self.num_heads,
+            "parameters": th["parameters"],
+            "flops": th["flops"],
+            "time_complexity": th["time_complexity"],
+            "space_complexity_mb": th["space_complexity_mb"],
+            "model_size_mb": self.metrics["model_size"]["size_mb"],
+            "avg_epoch_time": tr["avg_epoch_time"],
+            "total_training_time": tr["total_training_time"],
+            "final_val_acc": tr["final_val_acc"],
+            "final_val_loss": tr["final_val_loss"],
+            "test_acc": ev["test_acc"],
+            "test_loss": ev["test_loss"],
+            "avg_inference_time_per_image": ev["avg_inference_time_per_image"],
+            "peak_gpu_memory_mb": peak,
+        }
+
+    def save_results(self):
+        csv_path = os.path.join(self.results_dir, self.csv_filename)
+        pd.DataFrame([self.results_row()]).to_csv(csv_path, index=False)
+        print(f"Results saved to {csv_path}")
+        return csv_path
+
+    def run(self):
+        print("Setting up experiment...")
+        self.setup()
+        print("Starting training...")
+        self.train()
+        print("Evaluating model...")
+        self.evaluate()
+        print("Saving results...")
+        self.save_results()
+        print("Experiment completed!")
+        return self.metrics

@@ -1,0 +1,22 @@
+"""Device-mesh parallelism (DP + TP) via jax.sharding + jit.
+
+The reference is strictly single-process single-device (SURVEY.md §2.4 —
+zero distributed code). This layer is the rebuild's TPU-native scaling
+path: a ('data', 'model') mesh, batch sharded over 'data', Megatron-style
+tensor parallelism over 'model' for the MLP, and XLA-inserted collectives
+riding ICI.
+"""
+
+from focused_attention_vit_tpu.parallel.mesh import make_mesh
+from focused_attention_vit_tpu.parallel.sharding import (
+    param_sharding_rules,
+    shard_params,
+    make_sharded_train_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "param_sharding_rules",
+    "shard_params",
+    "make_sharded_train_step",
+]

@@ -1,0 +1,39 @@
+"""Mesh construction.
+
+One mesh, two named axes: 'data' (batch / gradient all-reduce) and 'model'
+(tensor parallelism). On a single host the mesh covers the local chips; the
+same axis names extend to multi-host slices (DP over DCN, TP inside the ICI
+domain) without API change — the design SURVEY.md §2.4 calls for.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    tp: int = 1,
+    axis_names: Sequence[str] = ("data", "model"),
+    devices=None,
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    Args:
+      n_devices: number of devices to use (default: all).
+      tp: size of the 'model' axis; must divide n_devices. The 'model'
+        axis is laid out over adjacent devices so TP collectives ride the
+        fastest ICI links.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % tp:
+        raise ValueError(f"tp={tp} must divide device count {n}")
+    grid = np.asarray(devices).reshape(n // tp, tp)
+    return Mesh(grid, axis_names=tuple(axis_names))

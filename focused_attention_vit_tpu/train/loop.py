@@ -1,0 +1,143 @@
+"""Epoch-level training/eval loops with the reference's observable surface.
+
+Progress-line format matches experiments/traditional.py:241-244 exactly
+('Epoch {e}/{E} | Train Loss: … | Train Acc: …% | Val Loss: … | Val Acc: …%
+| Time: …s'); timing is ``jax.block_until_ready``-correct per epoch instead
+of the reference's per-step ``loss.item()`` syncs.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from focused_attention_vit_tpu.data.pipeline import (
+    batch_iterator,
+    padded_eval_batches,
+)
+
+
+def _epoch_pass(
+    train_step,
+    state,
+    images,
+    labels,
+    batch_size,
+    key,
+    np_rng,
+):
+    metrics_acc = []
+    for bi, (xb, yb) in enumerate(
+        batch_iterator(
+            images, labels, batch_size, shuffle=True, rng=np_rng, drop_last=True
+        )
+    ):
+        step_key = jax.random.fold_in(key, bi)
+        state, m = train_step(state, xb, yb, step_key)
+        metrics_acc.append(m)
+    # One host sync per epoch.
+    metrics_acc = jax.device_get(metrics_acc)
+    loss_sum = float(sum(m["loss_sum"] for m in metrics_acc))
+    correct = float(sum(m["correct"] for m in metrics_acc))
+    count = float(sum(m["count"] for m in metrics_acc))
+    return state, loss_sum / max(count, 1), 100.0 * correct / max(count, 1)
+
+
+def evaluate(
+    eval_step,
+    state,
+    images: np.ndarray,
+    labels: np.ndarray,
+    batch_size: int,
+) -> Dict[str, float]:
+    """Full-dataset eval; returns loss/acc plus per-batch wall times
+    (the reference times each eval batch, experiments/traditional.py:286-289)."""
+    loss_sum = correct = count = 0.0
+    batch_times = []
+    for xb, yb, mask in padded_eval_batches(images, labels, batch_size):
+        t0 = time.time()
+        m = eval_step(state, xb, yb, mask)
+        m = jax.device_get(m)
+        batch_times.append(time.time() - t0)
+        loss_sum += float(m["loss_sum"])
+        correct += float(m["correct"])
+        count += float(m["count"])
+    return {
+        "loss": loss_sum / max(count, 1),
+        "acc": 100.0 * correct / max(count, 1),
+        "avg_batch_time": float(np.mean(batch_times)),
+        "avg_image_time": float(np.mean(batch_times)) / batch_size,
+        "count": count,
+    }
+
+
+def train_and_evaluate(
+    state,
+    train_step: Callable,
+    eval_step: Callable,
+    data: Dict[str, Any],
+    *,
+    epochs: int,
+    batch_size: int,
+    seed: int = 42,
+    log_fn: Callable[[str], None] = print,
+    epoch_callback: Optional[Callable[[int, Any], None]] = None,
+) -> Dict[str, Any]:
+    """Run the reference training protocol: per-epoch train + val pass.
+
+    Returns the training-metrics dict with the reference's keys
+    (experiments/traditional.py:255-266).
+    """
+    train_losses, train_accs, val_losses, val_accs, epoch_times = [], [], [], [], []
+    base_key = jax.random.PRNGKey(seed)
+    np_rng = np.random.default_rng(seed)
+
+    total_start = time.time()
+    for epoch in range(epochs):
+        t0 = time.time()
+        epoch_key = jax.random.fold_in(base_key, epoch)
+        state, tr_loss, tr_acc = _epoch_pass(
+            train_step,
+            state,
+            data["train_images"],
+            data["train_labels"],
+            batch_size,
+            epoch_key,
+            np_rng,
+        )
+        val = evaluate(
+            eval_step, state, data["test_images"], data["test_labels"], batch_size
+        )
+        epoch_time = time.time() - t0
+
+        train_losses.append(tr_loss)
+        train_accs.append(tr_acc)
+        val_losses.append(val["loss"])
+        val_accs.append(val["acc"])
+        epoch_times.append(epoch_time)
+
+        log_fn(
+            f"Epoch {epoch + 1}/{epochs} | "
+            f"Train Loss: {tr_loss:.4f} | Train Acc: {tr_acc:.2f}% | "
+            f"Val Loss: {val['loss']:.4f} | Val Acc: {val['acc']:.2f}% | "
+            f"Time: {epoch_time:.2f}s"
+        )
+        if epoch_callback is not None:
+            epoch_callback(epoch, state)
+
+    total_training_time = time.time() - total_start
+    return {
+        "state": state,
+        "train_losses": train_losses,
+        "train_accs": train_accs,
+        "val_losses": val_losses,
+        "val_accs": val_accs,
+        "epoch_times": epoch_times,
+        "avg_epoch_time": float(np.mean(epoch_times)) if epoch_times else 0.0,
+        "total_training_time": total_training_time,
+        "final_val_acc": val_accs[-1] if val_accs else 0.0,
+        "final_val_loss": val_losses[-1] if val_losses else 0.0,
+    }

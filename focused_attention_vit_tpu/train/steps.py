@@ -1,0 +1,121 @@
+"""Jitted train/eval step factories.
+
+The reference hot loop (experiments/traditional.py:187-200) moves a batch
+to device, runs fwd/bwd/step, then syncs ``loss.item()`` every step. Here
+one jitted ``train_step(state, images_u8, labels, key)`` fuses on-device
+augmentation, forward, backward and the optimizer update into a single XLA
+program; metrics accumulate on device and cross to the host once per epoch.
+
+``donate_argnums`` hands the old state's buffers back to XLA so parameters
+and optimizer state are updated in place in HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from focused_attention_vit_tpu.data.pipeline import (
+    augment_train_batch,
+    prepare_eval_batch,
+    CIFAR10_MEAN,
+    CIFAR10_STD,
+)
+
+
+def make_train_step(
+    img_size: int,
+    *,
+    augment: bool = True,
+    mean=CIFAR10_MEAN,
+    std=CIFAR10_STD,
+    compute_dtype=jnp.float32,
+    sharding_constraint: Optional[Callable] = None,
+) -> Callable:
+    """Build the fused augment+fwd+bwd+update step.
+
+    Returns ``train_step(state, images_u8, labels, key) ->
+    (state, metrics)`` with metrics = {loss_sum, correct, count} (device
+    scalars; divide on host at epoch end).
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, images_u8, labels, key):
+        if augment:
+            images = augment_train_batch(
+                images_u8, key, img_size, mean=mean, std=std, dtype=compute_dtype
+            )
+        else:
+            images = prepare_eval_batch(
+                images_u8, img_size, mean=mean, std=std, dtype=compute_dtype
+            )
+        if sharding_constraint is not None:
+            images = sharding_constraint(images)
+
+        dropout_key = jax.random.fold_in(key, 1)
+
+        def loss_fn(params):
+            logits = state.apply_fn(
+                {"params": params},
+                images,
+                False,  # deterministic=False
+                rngs={"dropout": dropout_key},
+            )
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), labels
+            ).mean()
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        correct = jnp.sum(jnp.argmax(logits, -1) == labels)
+        metrics = {
+            "loss_sum": loss * labels.shape[0],
+            "correct": correct,
+            "count": jnp.asarray(labels.shape[0], jnp.int32),
+        }
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    img_size: int,
+    *,
+    mean=CIFAR10_MEAN,
+    std=CIFAR10_STD,
+    compute_dtype=jnp.float32,
+    return_logits: bool = False,
+) -> Callable:
+    """Build ``eval_step(state, images_u8, labels, mask) -> metrics``.
+
+    ``mask`` zeroes padded examples (see data/pipeline.padded_eval_batches)
+    so full-dataset metrics are exact with static shapes.
+    """
+
+    @jax.jit
+    def eval_step(state, images_u8, labels, mask):
+        images = prepare_eval_batch(
+            images_u8, img_size, mean=mean, std=std, dtype=compute_dtype
+        )
+        logits = state.apply_fn({"params": state.params}, images).astype(
+            jnp.float32
+        )
+        losses = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        correct = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+        metrics = {
+            "loss_sum": jnp.sum(losses * mask),
+            "correct": jnp.sum(correct * mask),
+            "count": jnp.sum(mask),
+        }
+        if return_logits:
+            metrics["logits"] = logits
+        return metrics
+
+    return eval_step

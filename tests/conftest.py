@@ -7,7 +7,7 @@ way — ``xla_force_host_platform_device_count`` — so no TPU pod is needed
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +15,11 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     ).strip()
 
 import jax
+
+# The environment's sitecustomize imports jax and registers the axon TPU
+# plugin before conftest runs, so JAX_PLATFORMS in os.environ is too late —
+# but backends initialize lazily, so the config update below still wins.
+jax.config.update("jax_platforms", "cpu")
 
 # CPU XLA's default matmul path trades precision for speed (~1e-2 rel error
 # in f32 einsums); parity tests compare against float64 numpy at 1e-4, so

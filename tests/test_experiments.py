@@ -1,0 +1,121 @@
+"""Smoke-train tests for the experiment pipelines (tiny configs, CPU).
+
+The reference's de-facto smoke mode is ``subset_size`` (SURVEY.md §4);
+these tests run each pipeline for one epoch on tiny synthetic data and
+assert the CSV contract (filenames + schema columns) the reference
+produces.
+"""
+
+import os
+
+import pandas as pd
+import pytest
+
+from focused_attention_vit_tpu import experiments as exp
+
+TINY = dict(
+    img_size=16,
+    patch_size=4,
+    num_classes=10,
+    embed_dim=32,
+    depth=1,
+    num_heads=2,
+    batch_size=32,
+    epochs=1,
+    subset_size=64,
+)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return dict(data_dir=str(tmp_path / "data"), results_dir=str(tmp_path / "results"))
+
+
+def _cols(path):
+    return list(pd.read_csv(path).columns)
+
+
+def test_traditional(dirs):
+    e = exp.TraditionalViTExperiment(**TINY, **dirs)
+    e.run()
+    csv = os.path.join(dirs["results_dir"], "exp1_traditional.csv")
+    assert _cols(csv) == [
+        "model", "img_size", "patch_size", "embed_dim", "depth", "num_heads",
+        "parameters", "flops", "time_complexity", "space_complexity_mb",
+        "model_size_mb", "avg_epoch_time", "total_training_time",
+        "final_val_acc", "final_val_loss", "test_acc", "test_loss",
+        "avg_inference_time_per_image", "peak_gpu_memory_mb",
+    ]
+
+
+def test_sppp(dirs):
+    e = exp.SPPPExperiment(**TINY, **dirs, num_superpixels=4)
+    e.run()
+    csv = os.path.join(dirs["results_dir"], "exp2_sppp.csv")
+    cols = _cols(csv)
+    for c in ["num_superpixels", "traditional_tokens", "sppp_tokens",
+              "token_reduction_factor"]:
+        assert c in cols
+    row = pd.read_csv(csv).iloc[0]
+    assert row["sppp_tokens"] == 5  # R+1
+    assert row["traditional_tokens"] == 17  # (16/4)²+1
+
+
+def test_mhla_pretrained_offline_fallback(dirs):
+    """Without a cached checkpoint the experiment must fall back to random
+    init (logged) and still produce the exp4 CSV with LR-group counts."""
+    e = exp.PretrainedMHLAViTExperiment(
+        **TINY, **dirs, window_size=5, head_learning_rate=1e-3
+    )
+    e.run()
+    assert e.pretrained_loaded is False
+    csv = os.path.join(dirs["results_dir"], "exp4_pretrained_mhla.csv")
+    cols = _cols(csv)
+    for c in ["pretrained_source", "pretrained_model_variant", "freeze_layers",
+              "window_size", "complexity_reduction_ratio", "total_parameters",
+              "trainable_parameters", "frozen_parameters"]:
+        assert c in cols
+    row = pd.read_csv(csv).iloc[0]
+    assert row["trainable_parameters"] == row["total_parameters"]
+
+
+def test_mhla_pretrained_freeze(dirs):
+    e = exp.PretrainedMHLAViTExperiment(
+        **TINY, **dirs, window_size=5, freeze_layers=True
+    )
+    e.run()
+    row = pd.read_csv(
+        os.path.join(dirs["results_dir"], "exp4_pretrained_mhla.csv")
+    ).iloc[0]
+    # Frozen: only head + latent_proj trainable
+    # (reference: experiments/mhla_pretrained.py:237-247).
+    assert 0 < row["trainable_parameters"] < row["total_parameters"]
+
+
+def test_cross_attention_sppp_multihead(dirs):
+    e = exp.CrossAttentionExperiment(
+        **TINY, **dirs, use_sppp=True, use_multi_head=True, num_superpixels=4
+    )
+    e.run()
+    csv = os.path.join(
+        dirs["results_dir"], "exp5_multihead_cross_attention_sppp.csv"
+    )
+    cols = _cols(csv)
+    assert "use_multi_head" in cols and "num_superpixels" in cols
+
+
+def test_cli_dispatch(dirs, capsys):
+    """The CLI must dispatch every experiment name without the reference's
+    import crashes (main.py:41-43)."""
+    from focused_attention_vit_tpu.cli import main
+
+    main([
+        "--experiment", "traditional",
+        "--img_size", "16", "--patch_size", "4", "--embed_dim", "32",
+        "--depth", "1", "--num_heads", "2", "--batch_size", "32",
+        "--epochs", "1", "--subset_size", "64",
+        "--data_dir", dirs["data_dir"], "--results_dir", dirs["results_dir"],
+    ])
+    assert os.path.exists(
+        os.path.join(dirs["results_dir"], "exp1_traditional.csv")
+    )
