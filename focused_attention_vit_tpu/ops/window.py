@@ -35,6 +35,7 @@ the production path for long sequences.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -75,35 +76,26 @@ def window_index_table(seq_len: int, window_size: int) -> np.ndarray:
     return np.asarray(np.clip(table, 0, s - 1), dtype=np.int32)
 
 
-def windowed_latent_attention(
+def _gather_windowed_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     window_size: int,
     attention_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Window-local attention on per-head tensors ``[B, h, S, d]``.
+    """Direct table-gather formulation (correctness reference).
 
-    ``k``/``v`` are expected to already carry the latent projection
-    (reference applies ``latent_proj`` before windowing,
-    models/mhla.py:105-106).
-
-    Args:
-      attention_mask: optional ``[B, S, S]`` mask; entries gathered per
-        window and zero entries filled with -inf
-        (reference: models/mhla.py:136-143).
-
-    Returns:
-      ``[B, h, S, d]`` attention output (pre output-projection).
+    Materializes the ``[B, h, S, W, d]`` window tensor — memory-heavy, like
+    the reference's torch.gather path (models/mhla.py:117-126). Used for
+    tiny sequences, masked attention, and as the oracle the fast paths are
+    tested against.
     """
     b, h, s, d = q.shape
     table = jnp.asarray(window_index_table(s, window_size))  # [S, W]
 
-    # Gather K/V windows along the sequence axis: [B, h, S, W, d].
     k_win = jnp.take(k, table, axis=2)
     v_win = jnp.take(v, table, axis=2)
 
-    # Per-query scores against its W keys: [B, h, S, W].
     logits = jnp.einsum(
         "bhsd,bhswd->bhsw", q, k_win, preferred_element_type=jnp.float32
     ) * (d**-0.5)
@@ -117,3 +109,127 @@ def windowed_latent_attention(
 
     weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhsw,bhswd->bhsd", weights, v_win)
+
+
+def _shift_banded_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, window_size: int
+) -> jnp.ndarray:
+    """Shift-based banded attention — no window tensor, no gathers.
+
+    For interior rows the window is a pure diagonal band: offset o reads
+    key row i-hw+o, so scores come from W shifted elementwise
+    multiply-reduces over edge-replicated (clamped) K. Clamping differs
+    from the reference's edge rule only in the first/last hw rows, which
+    the caller overwrites with the exact gather computation
+    (windowed_latent_attention below).
+    """
+    b, h, s, d = q.shape
+    w = window_size
+    hw = w // 2
+    qf = q.astype(jnp.float32)
+
+    # Edge-replicated pad implements index clamping.
+    kp = jnp.pad(k, ((0, 0), (0, 0), (hw, w - 1 - hw), (0, 0)), mode="edge")
+    vp = jnp.pad(v, ((0, 0), (0, 0), (hw, w - 1 - hw), (0, 0)), mode="edge")
+
+    logits = jnp.stack(
+        [
+            jnp.einsum(
+                "bhsd,bhsd->bhs",
+                qf,
+                jax.lax.dynamic_slice_in_dim(kp, o, s, axis=2).astype(
+                    jnp.float32
+                ),
+            )
+            for o in range(w)
+        ],
+        axis=-1,
+    ) * (d**-0.5)  # [B, h, S, W]
+
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = sum(
+        weights[..., o : o + 1]
+        * jax.lax.dynamic_slice_in_dim(vp, o, s, axis=2).astype(jnp.float32)
+        for o in range(w)
+    )
+    return out.astype(q.dtype)
+
+
+def windowed_latent_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    window_size: int,
+    attention_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Window-local attention on per-head tensors ``[B, h, S, d]``.
+
+    ``k``/``v`` are expected to already carry the latent projection
+    (reference applies ``latent_proj`` before windowing,
+    models/mhla.py:105-106). Numerics match the reference exactly,
+    including the duplicated edge keys participating in the softmax with
+    their multiplicity.
+
+    Fast path: shift-based banded compute (O(S·W·d) reads, no [S, W, d]
+    materialization) + exact edge-row overwrite; on TPU the banded part is
+    a fused Pallas kernel (ops/mhla_kernel.py). Falls back to the gather
+    formulation for masked attention or tiny sequences.
+
+    Args:
+      attention_mask: optional ``[B, S, S]`` mask; entries gathered per
+        window and zero entries filled with -inf
+        (reference: models/mhla.py:136-143).
+
+    Returns:
+      ``[B, h, S, d]`` attention output (pre output-projection).
+    """
+    b, h, s, d = q.shape
+    w = window_size
+    hw = w // 2
+
+    if attention_mask is not None or s <= 2 * w:
+        return _gather_windowed_attention(q, k, v, w, attention_mask)
+
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("FAVIT_USE_PALLAS_MHLA", "0") == "1"
+    )
+    if use_pallas:
+        # Opt-in: the hand-written kernel is numerically identical but the
+        # band is VPU-relayout-bound and XLA's fusion of the shift
+        # formulation currently wins on v5e (42 vs 114 GB/s effective,
+        # measured at B·h=1536, S=3137, d=64, W=7, bf16). Kept for further
+        # kernel work and for hardware where the balance differs.
+        from focused_attention_vit_tpu.ops.mhla_kernel import (
+            banded_attention_tpu,
+        )
+
+        out = banded_attention_tpu(q, k, v, w)
+    else:
+        out = _shift_banded_attention(q, k, v, w)
+
+    if hw == 0:
+        return out
+
+    # Exact edge rows (first/last hw): the reference pads left-edge windows
+    # with key S-1 and right-edge windows with key 0 (models/mhla.py:72-79),
+    # whereas the banded path clamps. Recompute those 2·hw rows exactly.
+    edge_idx = np.concatenate(
+        [np.arange(hw), np.arange(s - hw, s)]
+    ).astype(np.int32)
+    table = window_index_table(s, w)[edge_idx]  # [2hw, W]
+
+    q_e = q[:, :, edge_idx]  # [B, h, 2hw, d]
+    k_e = jnp.take(k, jnp.asarray(table), axis=2)  # [B, h, 2hw, W, d]
+    v_e = jnp.take(v, jnp.asarray(table), axis=2)
+    logits = jnp.einsum(
+        "bhed,bhewd->bhew", q_e, k_e, preferred_element_type=jnp.float32
+    ) * (d**-0.5)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out_e = jnp.einsum(
+        "bhew,bhewd->bhed", weights, v_e.astype(jnp.float32)
+    ).astype(q.dtype)
+
+    out = out.at[:, :, :hw].set(out_e[:, :, :hw])
+    out = out.at[:, :, s - hw :].set(out_e[:, :, hw:])
+    return out

@@ -122,6 +122,123 @@ class TestSegmentPool:
         assert int(ids[0]) == 1
 
 
+class TestWindowedAttention:
+    """The fast banded path (+ edge fix) must match the gather oracle,
+    which is itself parity-tested against torch in test_parity_torch.py."""
+
+    @pytest.mark.parametrize("s,w", [(40, 7), (33, 5), (100, 3), (64, 4)])
+    def test_fast_path_matches_gather(self, rng, s, w):
+        from focused_attention_vit_tpu.ops.window import (
+            windowed_latent_attention,
+            _gather_windowed_attention,
+        )
+
+        b, h, d = 2, 3, 16
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        fast = windowed_latent_attention(q, k, v, w)
+        oracle = _gather_windowed_attention(q, k, v, w)
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(oracle), atol=1e-5, rtol=1e-5
+        )
+
+    def test_gradients_match_gather(self, rng):
+        from focused_attention_vit_tpu.ops.window import (
+            windowed_latent_attention,
+            _gather_windowed_attention,
+        )
+
+        b, h, s, d, w = 1, 2, 40, 8, 5
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        cot = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+
+        def loss_fast(q, k, v):
+            return jnp.sum(windowed_latent_attention(q, k, v, w) * cot)
+
+        def loss_oracle(q, k, v):
+            return jnp.sum(_gather_windowed_attention(q, k, v, w) * cot)
+
+        g_fast = jax.grad(loss_fast, argnums=(0, 1, 2))(q, k, v)
+        g_oracle = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
+        for gf, go in zip(g_fast, g_oracle):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(go), atol=1e-5, rtol=1e-4
+            )
+
+    def test_pallas_kernel_interpret_matches_gather(self, rng):
+        """Run the Pallas kernel in interpreter mode on CPU and compare the
+        full public op against the gather oracle."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from focused_attention_vit_tpu.ops.mhla_kernel import (
+            banded_attention_tpu,
+        )
+        from focused_attention_vit_tpu.ops.window import (
+            _gather_windowed_attention,
+            window_index_table,
+        )
+
+        b, h, s, d, w = 1, 2, 300, 16, 7
+        hw = w // 2
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+
+        with pltpu.force_tpu_interpret_mode():
+            banded = banded_attention_tpu(q, k, v, w)
+        oracle = _gather_windowed_attention(q, k, v, w)
+        # Interior rows are exact; edge rows differ by design (clamp vs
+        # reference padding) and are overwritten by the public op.
+        np.testing.assert_allclose(
+            np.asarray(banded)[:, :, hw : s - hw],
+            np.asarray(oracle)[:, :, hw : s - hw],
+            atol=1e-5,
+            rtol=1e-5,
+        )
+
+
+class TestChunkedAttention:
+    def test_matches_dense(self, rng):
+        from focused_attention_vit_tpu.ops.flash_attention import (
+            _chunked_attention,
+        )
+        from focused_attention_vit_tpu.ops.attention import (
+            scaled_dot_product_attention,
+        )
+
+        b, h, s, d = 2, 2, 300, 16
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        got = _chunked_attention(q, k, v, chunk=128)
+        ref = scaled_dot_product_attention(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
+
+    def test_gradient_matches_dense(self, rng):
+        from focused_attention_vit_tpu.ops.flash_attention import (
+            _chunked_attention,
+        )
+        from focused_attention_vit_tpu.ops.attention import (
+            scaled_dot_product_attention,
+        )
+
+        b, h, s, d = 1, 1, 130, 8
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+
+        g1 = jax.grad(lambda q: jnp.sum(_chunked_attention(q, k, v, chunk=64) ** 2))(q)
+        g2 = jax.grad(lambda q: jnp.sum(scaled_dot_product_attention(q, k, v) ** 2))(q)
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g2), atol=2e-5, rtol=1e-3
+        )
+
+
 class TestCentroids:
     def test_matches_reference_loop(self, rng):
         """Masked-mean centroids with (0.5, 0.5) for empty segments
