@@ -73,6 +73,14 @@ def parse_args(argv=None):
     # Visualization settings (reference: main.py:146-147)
     parser.add_argument("--visualize", action="store_true")
 
+    # TPU-native extensions (supersets of the reference CLI)
+    parser.add_argument("--checkpoint_dir", type=str, default=None,
+                        help="Orbax checkpoint dir (per-epoch save + resume)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="Capture a jax.profiler trace of training")
+    parser.add_argument("--no_detailed_metrics", action="store_true",
+                        help="Skip AUC/confusion-matrix computation")
+
     return parser.parse_args(argv)
 
 
@@ -99,6 +107,9 @@ def _common_kwargs(args):
         subset_size=args.subset_size,
         dataset=args.dataset,
         seed=args.seed,
+        checkpoint_dir=args.checkpoint_dir,
+        profile_dir=args.profile_dir,
+        detailed_metrics=not args.no_detailed_metrics,
     )
 
 

@@ -14,6 +14,10 @@ from focused_attention_vit_tpu.data.datasets import (
     load_dataset,
     CIFAR10_CLASS_NAMES,
 )
+from focused_attention_vit_tpu.data.imagenet import (
+    load_imagenet_subset,
+    get_sample_batch,
+)
 from focused_attention_vit_tpu.data.pipeline import (
     augment_train_batch,
     prepare_eval_batch,
@@ -27,6 +31,8 @@ __all__ = [
     "load_cifar10",
     "load_cifar100",
     "load_dataset",
+    "load_imagenet_subset",
+    "get_sample_batch",
     "CIFAR10_CLASS_NAMES",
     "augment_train_batch",
     "prepare_eval_batch",

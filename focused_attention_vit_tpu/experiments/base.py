@@ -74,6 +74,10 @@ class ExperimentBase:
     subset_size: Optional[int] = None
     dataset: str = "cifar10"
     seed: int = 42
+    # TPU-native extensions (strict supersets of the reference surface):
+    checkpoint_dir: Optional[str] = None  # Orbax save/resume per epoch
+    profile_dir: Optional[str] = None  # jax.profiler trace capture
+    detailed_metrics: bool = True  # AUC + confusion matrix at evaluate()
 
     # --- subclass hooks -----------------------------------------------------
     model_display_name: str = "Traditional ViT"
@@ -105,12 +109,23 @@ class ExperimentBase:
     # --- pipeline -----------------------------------------------------------
     def setup(self):
         os.makedirs(self.results_dir, exist_ok=True)
-        self.data = load_dataset(
-            self.dataset,
-            data_dir=self.data_dir,
-            subset_size=self.subset_size,
-            seed=self.seed,
-        )
+        if self.dataset == "imagenet":
+            from focused_attention_vit_tpu.data.imagenet import (
+                load_imagenet_subset,
+            )
+
+            self.data = load_imagenet_subset(
+                data_dir=os.path.join(self.data_dir, "imagenet"),
+                subset_size=self.subset_size,
+                seed=self.seed,
+            )
+        else:
+            self.data = load_dataset(
+                self.dataset,
+                data_dir=self.data_dir,
+                subset_size=self.subset_size,
+                seed=self.seed,
+            )
         self.model = self.build_model()
 
         rng = jax.random.PRNGKey(self.seed)
@@ -147,25 +162,48 @@ class ExperimentBase:
             return {"gpu_memory_peak_mb": 0.0}
 
     def train(self):
+        from focused_attention_vit_tpu.utils import profiling
+
         memory_usage = [self._memory_probe(backward=False)]
         half = self.epochs // 2
 
-        def mid_probe(epoch, state):
+        ckpt_mngr = None
+        start_epoch = 0
+        if self.checkpoint_dir:
+            from focused_attention_vit_tpu.train.checkpoint import (
+                CheckpointManager,
+            )
+
+            ckpt_mngr = CheckpointManager(self.checkpoint_dir)
+            latest = ckpt_mngr.latest_step()
+            if latest is not None:
+                restored = ckpt_mngr.restore(self.state)
+                if restored is not None:
+                    self.state = restored
+                    start_epoch = latest
+                    print(f"Resumed from checkpoint epoch {latest}")
+
+        def epoch_cb(epoch, state):
             if epoch == half:
                 self.state = state
                 memory_usage.append(self._memory_probe(backward=True))
+            if ckpt_mngr is not None:
+                ckpt_mngr.save(epoch + 1, state)
 
-        results = train_and_evaluate(
-            self.state,
-            self.train_step,
-            self.eval_step,
-            self.data,
-            epochs=self.epochs,
-            batch_size=self.batch_size,
-            seed=self.seed,
-            epoch_callback=mid_probe,
-        )
-        self.state = results.pop("state")
+        with profiling.trace(self.profile_dir):
+            results = train_and_evaluate(
+                self.state,
+                self.train_step,
+                self.eval_step,
+                self.data,
+                epochs=max(0, self.epochs - start_epoch),
+                batch_size=self.batch_size,
+                seed=self.seed,
+                epoch_callback=epoch_cb,
+            )
+        if ckpt_mngr is not None:
+            ckpt_mngr.close()
+        self.state = results.pop("state", self.state)
         memory_usage.append(self._memory_probe(backward=False))
         results["memory_usage"] = memory_usage
         self.metrics["training"] = results
@@ -189,6 +227,31 @@ class ExperimentBase:
             f"Avg Inference Time per Batch: {ev['avg_batch_time']:.4f}s | "
             f"Avg Inference Time per Image: {ev['avg_image_time']:.4f}s"
         )
+
+        if self.detailed_metrics:
+            from focused_attention_vit_tpu.train.loop import evaluate_detailed
+
+            det = evaluate_detailed(
+                self.state,
+                self.model,
+                self.data["test_images"],
+                self.data["test_labels"],
+                self.batch_size,
+                self.img_size,
+                self.data["num_classes"],
+            )
+            self.metrics["evaluation_detailed"] = det
+            np.save(
+                os.path.join(
+                    self.results_dir,
+                    self.csv_filename.replace(".csv", "_confusion.npy"),
+                ),
+                det["confusion_matrix"],
+            )
+            print(
+                f"AUC (macro OvR): {det['auc_macro_ovr']:.4f} | "
+                f"confusion matrix saved"
+            )
 
     # --- results ------------------------------------------------------------
     def results_row(self) -> Dict[str, Any]:

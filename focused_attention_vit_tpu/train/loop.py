@@ -74,6 +74,54 @@ def evaluate(
     }
 
 
+def evaluate_detailed(
+    state,
+    model,
+    images: np.ndarray,
+    labels: np.ndarray,
+    batch_size: int,
+    img_size: int,
+    num_classes: int,
+) -> Dict[str, Any]:
+    """Full eval with AUC (macro one-vs-rest) and confusion matrix.
+
+    The reference computes only top-1 accuracy
+    (experiments/traditional.py:198-200); AUC + confusion matrix are the
+    rebuild's extended metrics surface (SURVEY.md §5), computed on device
+    from accumulated probabilities.
+    """
+    import jax.numpy as jnp
+
+    from focused_attention_vit_tpu.data.pipeline import prepare_eval_batch
+    from focused_attention_vit_tpu.train.metrics import auc_ovr, confusion_matrix
+
+    @jax.jit
+    def probs_fn(params, images_u8):
+        x = prepare_eval_batch(images_u8, img_size)
+        logits = model.apply({"params": params}, x).astype(jnp.float32)
+        return jax.nn.softmax(logits, axis=-1)
+
+    all_probs = []
+    for xb, yb, mask in padded_eval_batches(images, labels, batch_size):
+        p = jax.device_get(probs_fn(state.params, xb))
+        all_probs.append(p[mask.astype(bool)])
+    probs = np.concatenate(all_probs)[: len(labels)]
+    preds = probs.argmax(-1)
+    labels = np.asarray(labels)
+
+    import jax.numpy as jnp
+
+    return {
+        "accuracy": float((preds == labels).mean()),
+        "auc_macro_ovr": float(
+            auc_ovr(jnp.asarray(probs), jnp.asarray(labels), num_classes)
+        ),
+        "confusion_matrix": np.asarray(
+            confusion_matrix(jnp.asarray(preds), jnp.asarray(labels), num_classes)
+        ),
+    }
+
+
 def train_and_evaluate(
     state,
     train_step: Callable,
