@@ -1,0 +1,150 @@
+"""ctypes bindings for the native C++ batch prefetcher (native/batcher.cpp).
+
+The shared library is built on first use with the system g++ (no pybind11
+dependency; plain C ABI) and cached next to the source. Everything degrades
+gracefully: if no compiler is available the pure-numpy iterator in
+data/pipeline.py is used instead.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_SRC = os.path.join(_REPO_ROOT, "native", "batcher.cpp")
+_LIB = os.path.join(_REPO_ROOT, "native", "libfavit_batcher.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> Optional[str]:
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+        return _LIB
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        _SRC, "-o", _LIB,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        logger.info("built native batcher: %s", _LIB)
+        return _LIB
+    except Exception as e:  # no compiler / failed build → numpy fallback
+        logger.info("native batcher unavailable (%s)", e)
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SRC):
+            return None
+        path = _build()
+        if path is None:
+            return None
+        lib = ctypes.CDLL(path)
+        lib.favit_prefetcher_create.restype = ctypes.c_void_p
+        lib.favit_prefetcher_create.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.favit_prefetcher_next.restype = ctypes.c_int64
+        lib.favit_prefetcher_next.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.favit_prefetcher_destroy.argtypes = [ctypes.c_void_p]
+        lib.favit_gather_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+class NativePrefetcher:
+    """Background-threaded shuffled batch iterator over host uint8 arrays.
+
+    One instance persists across epochs (`epoch_batches()` yields one
+    epoch); the C++ worker keeps `depth` assembled batches ahead of the
+    consumer, overlapping host gather with device steps.
+    """
+
+    def __init__(
+        self,
+        images: np.ndarray,
+        labels: np.ndarray,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        depth: int = 4,
+        seed: int = 0,
+    ):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native batcher unavailable")
+        self._lib = lib
+        # Own contiguous copies: the C++ side holds raw pointers.
+        self._images = np.ascontiguousarray(images)
+        self._labels = np.ascontiguousarray(labels.astype(np.int32))
+        self.batch_size = batch_size
+        self.item_shape = self._images.shape[1:]
+        item_bytes = int(np.prod(self.item_shape))
+        self._handle = lib.favit_prefetcher_create(
+            self._images.ctypes.data_as(ctypes.c_void_p),
+            self._labels.ctypes.data_as(ctypes.c_void_p),
+            len(self._images),
+            item_bytes,
+            batch_size,
+            depth,
+            seed,
+            int(shuffle),
+            int(drop_last),
+        )
+        self._item_bytes = item_bytes
+        self._out_img = np.empty((batch_size, *self.item_shape), dtype=np.uint8)
+        self._out_lab = np.empty((batch_size,), dtype=np.int32)
+        self._closed = False
+
+    def epoch_batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        while True:
+            n = self._lib.favit_prefetcher_next(
+                self._handle,
+                self._out_img.ctypes.data_as(ctypes.c_void_p),
+                self._out_lab.ctypes.data_as(ctypes.c_void_p),
+            )
+            if n <= 0:  # 0 = end of epoch, -1 = shutting down
+                return
+            # Copy out: the staging buffers are reused for the next batch.
+            yield self._out_img[:n].copy(), self._out_lab[:n].copy()
+
+    def close(self):
+        if not self._closed:
+            self._lib.favit_prefetcher_destroy(self._handle)
+            self._closed = True
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass

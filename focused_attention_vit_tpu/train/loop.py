@@ -28,13 +28,16 @@ def _epoch_pass(
     batch_size,
     key,
     np_rng,
+    prefetcher=None,
 ):
-    metrics_acc = []
-    for bi, (xb, yb) in enumerate(
-        batch_iterator(
+    if prefetcher is not None:
+        batches = prefetcher.epoch_batches()
+    else:
+        batches = batch_iterator(
             images, labels, batch_size, shuffle=True, rng=np_rng, drop_last=True
         )
-    ):
+    metrics_acc = []
+    for bi, (xb, yb) in enumerate(batches):
         step_key = jax.random.fold_in(key, bi)
         state, m = train_step(state, xb, yb, step_key)
         metrics_acc.append(m)
@@ -143,6 +146,26 @@ def train_and_evaluate(
     base_key = jax.random.PRNGKey(seed)
     np_rng = np.random.default_rng(seed)
 
+    # Native C++ prefetcher (background batch assembly, native/batcher.cpp);
+    # falls back to the numpy iterator when no toolchain is available.
+    prefetcher = None
+    if len(data["train_images"]) >= batch_size:
+        try:
+            from focused_attention_vit_tpu.data.native import (
+                NativePrefetcher,
+                native_available,
+            )
+
+            if native_available():
+                prefetcher = NativePrefetcher(
+                    data["train_images"],
+                    data["train_labels"],
+                    batch_size,
+                    seed=seed,
+                )
+        except Exception:
+            prefetcher = None
+
     total_start = time.time()
     for epoch in range(epochs):
         t0 = time.time()
@@ -155,6 +178,7 @@ def train_and_evaluate(
             batch_size,
             epoch_key,
             np_rng,
+            prefetcher=prefetcher,
         )
         val = evaluate(
             eval_step, state, data["test_images"], data["test_labels"], batch_size
@@ -175,6 +199,9 @@ def train_and_evaluate(
         )
         if epoch_callback is not None:
             epoch_callback(epoch, state)
+
+    if prefetcher is not None:
+        prefetcher.close()
 
     total_training_time = time.time() - total_start
     return {
