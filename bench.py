@@ -58,6 +58,36 @@ def bench_train(model, batch, img_size, steps=20, warmup=3, num_classes=10):
     return batch * steps / dt
 
 
+def bench_eval_latency(model, batch, img_size, iters=30, num_classes=10):
+    """Per-batch eval latency (p50), sync-correct per call."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x_u8 = jnp.asarray(
+        rng.integers(0, 255, size=(batch, 32, 32, 3)), dtype=jnp.uint8
+    )
+    sample = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), sample)["params"]
+
+    from focused_attention_vit_tpu.data.pipeline import prepare_eval_batch
+
+    @jax.jit
+    def fwd(params, x_u8):
+        return model.apply({"params": params}, prepare_eval_batch(x_u8, img_size))
+
+    out = fwd(params, x_u8)
+    float(out.ravel()[0].astype(jnp.float32))
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        out = fwd(params, x_u8)
+        float(out.ravel()[0].astype(jnp.float32))
+        times.append(time.time() - t0)
+    return float(np.percentile(times, 50))
+
+
 def main():
     from focused_attention_vit_tpu.models import (
         VisionTransformer,
@@ -77,12 +107,14 @@ def main():
     )
     batch = int(os.environ.get("BENCH_BATCH", "128"))
 
-    vit_ips = bench_train(VisionTransformer(**common), batch, 224)
+    vit = VisionTransformer(**common)
+    vit_ips = bench_train(vit, batch, 224)
     mhla_ips = bench_train(
         VisionTransformerMHLA(**common, window_size=7, use_mhla=True),
         batch,
         224,
     )
+    eval_p50 = bench_eval_latency(vit, batch, 224)
 
     result = {
         "metric": "vit_b16_images_per_sec_per_chip_fwd_bwd",
@@ -92,6 +124,8 @@ def main():
         "extra": {
             "mhla_b16_images_per_sec_fwd_bwd": round(mhla_ips, 2),
             "mhla_vs_torch_cpu": round(mhla_ips / TORCH_CPU_MHLA_B16_FWD_BWD, 1),
+            "eval_batch_latency_p50_ms": round(eval_p50 * 1000, 2),
+            "eval_images_per_sec": round(batch / eval_p50, 1),
             "batch": batch,
             "compute_dtype": "bfloat16",
         },

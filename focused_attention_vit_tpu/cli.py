@@ -130,6 +130,43 @@ def _sppp_kwargs(args):
     )
 
 
+def _save_visualizations(args):
+    """--visualize: save a sample-image grid and a per-patch grid into
+    results_dir (the reference parses this flag but never acts on it,
+    main.py:146-147 — acting on it is a strict superset)."""
+    import numpy as np
+
+    from focused_attention_vit_tpu.data import load_dataset
+    from focused_attention_vit_tpu.utils.viz import (
+        visualize_images,
+        visualize_patches,
+    )
+
+    data = load_dataset(
+        args.dataset if args.dataset != "imagenet" else "cifar10",
+        data_dir=args.data_dir,
+        subset_size=max(16, args.subset_size or 16),
+        seed=args.seed,
+    )
+    imgs = data["train_images"][:16].astype(np.float32) / 255.0
+    # viz helpers denormalize; feed normalized-equivalent values.
+    mean = np.array((0.4914, 0.4822, 0.4465))
+    std = np.array((0.2470, 0.2435, 0.2616))
+    normed = (imgs - mean) / std
+    visualize_images(
+        normed,
+        labels=data["train_labels"][:16],
+        class_names=data["class_names"],
+        save_path=f"{args.results_dir}/sample_images.png",
+    )
+    visualize_patches(
+        normed[0],
+        patch_size=min(args.patch_size, imgs.shape[1]),
+        save_path=f"{args.results_dir}/sample_patches.png",
+    )
+    print(f"Visualizations saved to {args.results_dir}")
+
+
 def main(argv=None):
     args = parse_args(argv)
 
@@ -145,6 +182,9 @@ def main(argv=None):
 
     os.makedirs(args.data_dir, exist_ok=True)
     os.makedirs(args.results_dir, exist_ok=True)
+
+    if args.visualize:
+        _save_visualizations(args)
 
     import jax
 

@@ -107,7 +107,7 @@ class CrossAttentionExperiment(PretrainedMixin, ExperimentBase):
     def label_fn(self, path: str) -> str:
         if path.startswith("head"):
             return "head"
-        frozen = self.use_pretrained and self.freeze_layers
+        frozen = self.use_pretrained and self._is_frozen_path(path, True)
         return "frozen" if frozen else "body"
 
     def theoretical_metrics(self) -> Dict[str, Any]:

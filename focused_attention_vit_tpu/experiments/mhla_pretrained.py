@@ -52,7 +52,7 @@ class PretrainedMHLAViTExperiment(PretrainedMixin, ExperimentBase):
             return "head"
         if "latent_proj" in path:
             return "latent"
-        return "frozen" if self.freeze_layers else "body"
+        return "frozen" if self._is_frozen_path(path, True) else "body"
 
     def group_lrs(self) -> Dict[str, float]:
         return {

@@ -77,9 +77,17 @@ class PretrainedMixin:
     pretrained_model_variant: str = "vit_b_16"
     pretrained_source: str = "torchvision"
     pretrained_cache_dir: str = "./pretrained_weights"
-    freeze_layers: bool = False
+    # bool: freeze the whole pretrained body; list[str]: freeze parameters
+    # whose path contains any listed substring (reference semantics:
+    # utils/data_utils.py:529-539).
+    freeze_layers: Any = False
     head_learning_rate: float = 1e-3
     strict_pretrained: bool = False
+
+    def _is_frozen_path(self, path: str, body_frozen_default: bool) -> bool:
+        if isinstance(self.freeze_layers, (list, tuple)):
+            return any(name in path for name in self.freeze_layers)
+        return bool(self.freeze_layers) and body_frozen_default
 
     # Subclasses set this to transform a plain-ViT pytree into the variant
     # layout (identity for traditional_pretrained).
@@ -137,10 +145,11 @@ class PretrainedMixin:
         """Default two-group policy (traditional_pretrained,
         reference: experiments/traditional_pretrained.py:196-209):
         head at head_learning_rate, body at learning_rate; with
-        freeze_layers=True the body is frozen."""
+        freeze_layers=True the body is frozen; with a list, matching
+        parameter paths are frozen."""
         if path.startswith("head"):
             return "head"
-        return "frozen" if self.freeze_layers else "body"
+        return "frozen" if self._is_frozen_path(path, True) else "body"
 
     def group_lrs(self) -> Dict[str, float]:
         return {"body": self.learning_rate, "head": self.head_learning_rate}

@@ -64,7 +64,7 @@ class PretrainedSPPPMHLAExperiment(PretrainedMixin, SPPPExperiment):
             return "latent"
         if any(x in path for x in ("segmentation", "patch_mapper", "pooling")):
             return "sppp"  # structurally empty — parameter-free ops
-        return "frozen" if self.freeze_layers else "body"
+        return "frozen" if self._is_frozen_path(path, True) else "body"
 
     def group_lrs(self) -> Dict[str, float]:
         return {

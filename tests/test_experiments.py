@@ -104,6 +104,40 @@ def test_cross_attention_sppp_multihead(dirs):
     assert "use_multi_head" in cols and "num_superpixels" in cols
 
 
+def test_freeze_layers_list(dirs):
+    """List-valued freeze_layers freezes matching parameter paths
+    (reference: utils/data_utils.py:535-539)."""
+    cfg = dict(TINY, epochs=0)
+    e = exp.PretrainedMHLAViTExperiment(
+        **cfg, **dirs, window_size=5, freeze_layers=["blocks_0"]
+    )
+    e.setup()
+    labels = e._label_tree(e.state.params)
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+    for path, label in flat:
+        p = "/".join(str(getattr(x, "key", "")) for x in path)
+        if p.startswith("blocks_0") and "latent_proj" not in p:
+            assert label == "frozen", p
+        elif p.startswith("blocks_0") and "latent_proj" in p:
+            assert label == "latent"
+
+
+def test_visualize_outputs(dirs):
+    from focused_attention_vit_tpu.cli import _save_visualizations, parse_args
+
+    args = parse_args([
+        "--experiment", "traditional", "--patch_size", "8",
+        "--subset_size", "32",
+        "--data_dir", dirs["data_dir"], "--results_dir", dirs["results_dir"],
+    ])
+    os.makedirs(dirs["results_dir"], exist_ok=True)
+    _save_visualizations(args)
+    assert os.path.exists(os.path.join(dirs["results_dir"], "sample_images.png"))
+    assert os.path.exists(os.path.join(dirs["results_dir"], "sample_patches.png"))
+
+
 def test_cli_dispatch(dirs, capsys):
     """The CLI must dispatch every experiment name without the reference's
     import crashes (main.py:41-43)."""
