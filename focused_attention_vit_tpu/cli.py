@@ -80,6 +80,10 @@ def parse_args(argv=None):
                         help="Capture a jax.profiler trace of training")
     parser.add_argument("--no_detailed_metrics", action="store_true",
                         help="Skip AUC/confusion-matrix computation")
+    parser.add_argument("--compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="Model/pipeline compute dtype (bfloat16 for "
+                             "MXU-native training; params stay float32)")
 
     return parser.parse_args(argv)
 
@@ -110,6 +114,7 @@ def _common_kwargs(args):
         checkpoint_dir=args.checkpoint_dir,
         profile_dir=args.profile_dir,
         detailed_metrics=not args.no_detailed_metrics,
+        compute_dtype=args.compute_dtype,
     )
 
 
@@ -187,6 +192,10 @@ def main(argv=None):
         _save_visualizations(args)
 
     import jax
+
+    from focused_attention_vit_tpu.utils.compile_cache import enable as _cc
+
+    _cc()
 
     logger.info("Experiment: %s", args.experiment)
     logger.info("Dataset: %s", args.dataset)

@@ -76,6 +76,7 @@ class CrossAttentionExperiment(PretrainedMixin, ExperimentBase):
             attn_dropout=self.attn_dropout,
             embed_dropout=self.embed_dropout,
             use_multi_head=self.use_multi_head,
+            dtype=self.jnp_dtype,
         )
         if self.use_sppp:
             return CrossAttentionSPPPViT(

@@ -78,10 +78,17 @@ class ExperimentBase:
     checkpoint_dir: Optional[str] = None  # Orbax save/resume per epoch
     profile_dir: Optional[str] = None  # jax.profiler trace capture
     detailed_metrics: bool = True  # AUC + confusion matrix at evaluate()
+    compute_dtype: str = "float32"  # 'bfloat16' for MXU-native training
 
     # --- subclass hooks -----------------------------------------------------
     model_display_name: str = "Traditional ViT"
     csv_filename: str = "exp1_traditional.csv"
+
+    @property
+    def jnp_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
     def build_model(self):
         raise NotImplementedError
@@ -144,8 +151,12 @@ class ExperimentBase:
         self.metrics["theoretical"] = self.theoretical_metrics()
         self.metrics["model_size"] = calculate_model_size(self.state.params)
 
-        self.train_step = make_train_step(self.img_size)
-        self.eval_step = make_eval_step(self.img_size)
+        self.train_step = make_train_step(
+            self.img_size, compute_dtype=self.jnp_dtype
+        )
+        self.eval_step = make_eval_step(
+            self.img_size, compute_dtype=self.jnp_dtype
+        )
 
     def _sample_batch(self):
         import jax.numpy as jnp

@@ -40,6 +40,7 @@ class PretrainedMHLAViTExperiment(PretrainedMixin, ExperimentBase):
             embed_dropout=self.embed_dropout,
             window_size=self.window_size,
             use_mhla=True,
+            dtype=self.jnp_dtype,
         )
 
     def surgery(self, vit_params: Dict[str, Any]) -> Dict[str, Any]:

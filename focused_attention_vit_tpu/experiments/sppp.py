@@ -41,6 +41,7 @@ class SPPPExperiment(ExperimentBase):
             num_superpixels=self.num_superpixels,
             compactness=self.compactness,
             pooling_type=self.pooling_type,
+            dtype=self.jnp_dtype,
         )
 
     def theoretical_metrics(self) -> Dict[str, Any]:

@@ -48,6 +48,7 @@ class PretrainedSPPPMHLAExperiment(PretrainedMixin, SPPPExperiment):
             pooling_type=self.pooling_type,
             window_size=self.window_size,
             use_mhla=True,
+            dtype=self.jnp_dtype,
         )
 
     def surgery(self, vit_params: Dict[str, Any]) -> Dict[str, Any]:

@@ -40,6 +40,7 @@ class PretrainedSPPPExperiment(PretrainedMixin, SPPPExperiment):
             num_superpixels=self.num_superpixels,
             compactness=self.compactness,
             pooling_type=self.pooling_type,
+            dtype=self.jnp_dtype,
         )
 
     def surgery(self, vit_params: Dict[str, Any]) -> Dict[str, Any]:

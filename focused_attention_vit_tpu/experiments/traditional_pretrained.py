@@ -33,6 +33,7 @@ class PretrainedTraditionalViTExperiment(PretrainedMixin, ExperimentBase):
             dropout=self.dropout,
             attn_dropout=self.attn_dropout,
             embed_dropout=self.embed_dropout,
+            dtype=self.jnp_dtype,
         )
 
     def results_row(self) -> Dict[str, Any]:

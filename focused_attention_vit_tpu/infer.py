@@ -1,0 +1,102 @@
+"""Batch inference / serving path.
+
+The reference has no inference entry point beyond the experiment eval
+loops; this module is the production-serving face of the framework: one
+compiled program, fixed batch shape (arbitrary request sizes handled by
+padding), uint8 in / probabilities out, optional Orbax checkpoint loading.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from focused_attention_vit_tpu.data.pipeline import (
+    CIFAR10_MEAN,
+    CIFAR10_STD,
+    prepare_eval_batch,
+)
+
+
+class Predictor:
+    """Fixed-shape jitted classifier over uint8 NHWC images.
+
+    One XLA program serves any request size: requests are cut into
+    ``batch_size`` chunks, the last chunk padded (padding discarded on the
+    way out), so the serving path never recompiles.
+    """
+
+    def __init__(
+        self,
+        model,
+        params: Dict[str, Any],
+        *,
+        img_size: int,
+        batch_size: int = 256,
+        compute_dtype=jnp.bfloat16,
+        mean=CIFAR10_MEAN,
+        std=CIFAR10_STD,
+    ):
+        self.model = model
+        self.params = params
+        self.img_size = img_size
+        self.batch_size = batch_size
+
+        @jax.jit
+        def _fwd(params, images_u8):
+            x = prepare_eval_batch(
+                images_u8, img_size, mean=mean, std=std, dtype=compute_dtype
+            )
+            logits = model.apply({"params": params}, x).astype(jnp.float32)
+            return jax.nn.softmax(logits, axis=-1)
+
+        self._fwd = _fwd
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        model,
+        checkpoint_dir: str,
+        sample_input: jnp.ndarray,
+        **kw,
+    ) -> "Predictor":
+        """Restore params from a training checkpoint dir (the params-only
+        sidecar written by train.checkpoint.CheckpointManager.save)."""
+        import os
+
+        from focused_attention_vit_tpu.train.checkpoint import load_params
+
+        template = model.init(jax.random.PRNGKey(0), sample_input)["params"]
+        path = os.path.join(checkpoint_dir, "params_latest.msgpack")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no params sidecar at {path}")
+        params = load_params(path, template)
+        return cls(model, params, **kw)
+
+    def warmup(self) -> None:
+        dummy = np.zeros((self.batch_size, 32, 32, 3), dtype=np.uint8)
+        np.asarray(self._fwd(self.params, jnp.asarray(dummy)))
+
+    def predict_proba(self, images_u8: np.ndarray) -> np.ndarray:
+        """[N, h, w, C] uint8 → [N, num_classes] probabilities."""
+        n = len(images_u8)
+        out = []
+        for start in range(0, n, self.batch_size):
+            chunk = images_u8[start : start + self.batch_size]
+            pad = self.batch_size - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[:1], pad, axis=0)]
+                )
+            probs = np.asarray(self._fwd(self.params, jnp.asarray(chunk)))
+            out.append(probs[: len(probs) - pad] if pad else probs)
+        return np.concatenate(out)[:n]
+
+    def predict(self, images_u8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (predicted class ids, their probabilities)."""
+        probs = self.predict_proba(images_u8)
+        ids = probs.argmax(-1)
+        return ids, probs[np.arange(len(ids)), ids]

@@ -23,8 +23,9 @@ class CheckpointManager:
     """Thin wrapper over orbax CheckpointManager for TrainState pytrees."""
 
     def __init__(self, directory: str, max_to_keep: int = 3):
+        self._dir = os.path.abspath(directory)
         self._mngr = ocp.CheckpointManager(
-            os.path.abspath(directory),
+            self._dir,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, create=True
             ),
@@ -33,6 +34,15 @@ class CheckpointManager:
     def save(self, step: int, state) -> None:
         self._mngr.save(step, args=ocp.args.StandardSave(state))
         self._mngr.wait_until_finished()
+        # Params-only sidecar for serving (restoring a full TrainState
+        # requires an optimizer-structure-matching template, which a
+        # serving process doesn't have).
+        save_params(
+            os.path.join(self._dir, "params_latest.msgpack"), state.params
+        )
+
+    def params_path(self) -> str:
+        return os.path.join(self._dir, "params_latest.msgpack")
 
     def restore(self, state_template, step: Optional[int] = None):
         step = self.latest_step() if step is None else step

@@ -1,0 +1,65 @@
+"""Serving-path tests: fixed-shape predictor, padding, checkpoint load."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from focused_attention_vit_tpu import models as fmodels
+from focused_attention_vit_tpu.infer import Predictor
+
+TINY = dict(img_size=16, patch_size=4, num_classes=5, embed_dim=32, depth=1, num_heads=2)
+
+
+def _model_params():
+    model = fmodels.VisionTransformer(**TINY)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))[
+        "params"
+    ]
+    return model, params
+
+
+def test_predict_arbitrary_sizes():
+    model, params = _model_params()
+    pred = Predictor(
+        model, params, img_size=16, batch_size=8, compute_dtype=jnp.float32
+    )
+    rng = np.random.default_rng(0)
+    for n in (1, 7, 8, 13):
+        imgs = rng.integers(0, 256, size=(n, 16, 16, 3), dtype=np.uint8)
+        ids, conf = pred.predict(imgs)
+        probs = pred.predict_proba(imgs)
+        assert ids.shape == (n,) and probs.shape == (n, 5)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+        assert (conf <= 1.0).all()
+
+    # Padding must not change results: chunked vs whole.
+    imgs = rng.integers(0, 256, size=(13, 16, 16, 3), dtype=np.uint8)
+    p_all = pred.predict_proba(imgs)
+    p_one = np.concatenate([pred.predict_proba(imgs[i : i + 1]) for i in range(13)])
+    np.testing.assert_allclose(p_all, p_one, atol=1e-5)
+
+
+def test_from_checkpoint(tmp_path):
+    from focused_attention_vit_tpu.train.checkpoint import CheckpointManager
+    from focused_attention_vit_tpu.train.state import TrainState
+
+    model, params = _model_params()
+    state = TrainState.create(
+        apply_fn=model.apply, params=params, tx=optax.adamw(1e-3)
+    )
+    mngr = CheckpointManager(str(tmp_path / "ck"))
+    mngr.save(1, state)
+    mngr.close()
+
+    pred = Predictor.from_checkpoint(
+        model,
+        str(tmp_path / "ck"),
+        jnp.zeros((1, 16, 16, 3)),
+        img_size=16,
+        batch_size=4,
+        compute_dtype=jnp.float32,
+    )
+    imgs = np.zeros((3, 16, 16, 3), dtype=np.uint8)
+    ids, _ = pred.predict(imgs)
+    assert ids.shape == (3,)
