@@ -80,6 +80,9 @@ def parse_args(argv=None):
                         help="Capture a jax.profiler trace of training")
     parser.add_argument("--no_detailed_metrics", action="store_true",
                         help="Skip AUC/confusion-matrix computation")
+    parser.add_argument("--remat", action="store_true",
+                        help="Gradient checkpointing per block (for the "
+                             "patch-4 / S=3137 geometry at large batch)")
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="Model/pipeline compute dtype (bfloat16 for "
@@ -115,6 +118,7 @@ def _common_kwargs(args):
         profile_dir=args.profile_dir,
         detailed_metrics=not args.no_detailed_metrics,
         compute_dtype=args.compute_dtype,
+        remat=args.remat,
     )
 
 

@@ -79,6 +79,7 @@ class ExperimentBase:
     profile_dir: Optional[str] = None  # jax.profiler trace capture
     detailed_metrics: bool = True  # AUC + confusion matrix at evaluate()
     compute_dtype: str = "float32"  # 'bfloat16' for MXU-native training
+    remat: bool = False  # gradient checkpointing for long-sequence configs
 
     # --- subclass hooks -----------------------------------------------------
     model_display_name: str = "Traditional ViT"

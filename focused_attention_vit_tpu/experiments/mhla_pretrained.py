@@ -40,6 +40,7 @@ class PretrainedMHLAViTExperiment(PretrainedMixin, ExperimentBase):
             embed_dropout=self.embed_dropout,
             window_size=self.window_size,
             use_mhla=True,
+            remat=self.remat,
             dtype=self.jnp_dtype,
         )
 

@@ -30,6 +30,7 @@ class TraditionalViTExperiment(ExperimentBase):
             dropout=self.dropout,
             attn_dropout=self.attn_dropout,
             embed_dropout=self.embed_dropout,
+            remat=self.remat,
             dtype=self.jnp_dtype,
         )
 

@@ -33,6 +33,7 @@ class PretrainedTraditionalViTExperiment(PretrainedMixin, ExperimentBase):
             dropout=self.dropout,
             attn_dropout=self.attn_dropout,
             embed_dropout=self.embed_dropout,
+            remat=self.remat,
             dtype=self.jnp_dtype,
         )
 

@@ -35,6 +35,7 @@ class VisionTransformerMHLA(nn.Module):
     window_size: int = 7
     use_mhla: bool = False
     use_flash: Optional[bool] = None
+    remat: bool = False  # see models/vit.py remat note
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -58,8 +59,13 @@ class VisionTransformerMHLA(nn.Module):
             jnp.float32,
         )
         self.pos_drop = nn.Dropout(self.embed_dropout)
+        block_cls = (
+            nn.remat(SwitchableTransformerBlock, static_argnums=(2,))
+            if self.remat
+            else SwitchableTransformerBlock
+        )
         self.blocks = [
-            SwitchableTransformerBlock(
+            block_cls(
                 self.embed_dim,
                 self.num_heads,
                 window_size=self.window_size,
@@ -90,7 +96,7 @@ class VisionTransformerMHLA(nn.Module):
         x = x + self.pos_embed.astype(x.dtype)
         x = self.pos_drop(x, deterministic=deterministic)
         for block in self.blocks:
-            x = block(x, deterministic=deterministic)
+            x = block(x, deterministic)  # positional for nn.remat
         x = self.norm(x)
         return x[:, 0]
 

@@ -48,21 +48,24 @@ def flash_attention_tpu(
         segment_ids = None
 
     # Tuned on v5e at S=3137, d=64: small q blocks with the full K resident
-    # win (34.5 vs 28-32 TFLOP/s for square 512/1024 blocks).
+    # win for the forward (34.5 vs 28-32 TFLOP/s for square 512/1024
+    # blocks); the backward kernels carry more per-block state and OOM VMEM
+    # with a full-K block, so they use 512² tiles.
     block_q = min(256, sp)
     block_k = sp if sp <= 4096 else 1024
+    block_bwd = min(512, sp)
     sizes = BlockSizes(
         block_q=block_q,
         block_k_major=block_k,
         block_k=block_k,
         block_b=1,
-        block_q_major_dkv=block_q,
-        block_k_major_dkv=block_k,
-        block_k_dkv=block_k,
-        block_q_dkv=block_q,
-        block_k_major_dq=block_k,
-        block_k_dq=block_k,
-        block_q_dq=block_q,
+        block_q_major_dkv=block_bwd,
+        block_k_major_dkv=block_bwd,
+        block_k_dkv=block_bwd,
+        block_q_dkv=block_bwd,
+        block_k_major_dq=block_bwd,
+        block_k_dq=block_bwd,
+        block_q_dq=block_bwd,
     )
     out = _pallas_flash(
         qp,
