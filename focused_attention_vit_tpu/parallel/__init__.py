@@ -8,6 +8,10 @@ riding ICI.
 """
 
 from focused_attention_vit_tpu.parallel.mesh import make_mesh
+from focused_attention_vit_tpu.parallel.multihost import (
+    initialize as distributed_initialize,
+    host_batch_slice,
+)
 from focused_attention_vit_tpu.parallel.sharding import (
     param_sharding_rules,
     shard_params,
@@ -16,6 +20,8 @@ from focused_attention_vit_tpu.parallel.sharding import (
 
 __all__ = [
     "make_mesh",
+    "distributed_initialize",
+    "host_batch_slice",
     "param_sharding_rules",
     "shard_params",
     "make_sharded_train_step",

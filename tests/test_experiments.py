@@ -104,6 +104,20 @@ def test_cross_attention_sppp_multihead(dirs):
     assert "use_multi_head" in cols and "num_superpixels" in cols
 
 
+def test_sppp_mhla_cifar100(dirs):
+    """BASELINE.json config #4: combined SPPP+MHLA on CIFAR-100 (synthetic
+    fallback here — 100-class shape contract)."""
+    cfg = dict(TINY, num_classes=100)
+    e = exp.PretrainedSPPPMHLAExperiment(
+        **cfg, **dirs, dataset="cifar100", num_superpixels=4, window_size=3
+    )
+    e.run()
+    csv = os.path.join(dirs["results_dir"], "exp5_pretrained_sppp_mhla.csv")
+    row = pd.read_csv(csv).iloc[0]
+    assert row["num_superpixels"] == 4 and row["window_size"] == 3
+    assert e.data["num_classes"] == 100
+
+
 def test_freeze_layers_list(dirs):
     """List-valued freeze_layers freezes matching parameter paths
     (reference: utils/data_utils.py:535-539)."""

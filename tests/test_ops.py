@@ -168,6 +168,35 @@ class TestWindowedAttention:
                 np.asarray(gf), np.asarray(go), atol=1e-5, rtol=1e-4
             )
 
+    def test_fused_latent_kernel_v2_interpret(self, rng):
+        """v2 fused (latent proj + band) kernel vs oracle on latent-projected
+        K/V, interpreter mode."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from focused_attention_vit_tpu.ops.mhla_kernel_v2 import (
+            fused_latent_banded_attention,
+        )
+        from focused_attention_vit_tpu.ops.window import (
+            _gather_windowed_attention,
+        )
+
+        b, h, s, d, w = 1, 4, 300, 16, 5
+        hw = w // 2
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        wl = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32)) * 0.1
+        bl = jnp.asarray(rng.normal(size=(d,)).astype(np.float32)) * 0.1
+
+        with pltpu.force_tpu_interpret_mode():
+            out = fused_latent_banded_attention(q, k, v, wl, bl, w)
+        oracle = _gather_windowed_attention(q, k @ wl + bl, v @ wl + bl, w)
+        np.testing.assert_allclose(
+            np.asarray(out)[:, :, hw : s - hw],
+            np.asarray(oracle)[:, :, hw : s - hw],
+            atol=1e-5, rtol=1e-4,
+        )
+
     def test_pallas_kernel_interpret_matches_gather(self, rng):
         """Run the Pallas kernel in interpreter mode on CPU and compare the
         full public op against the gather oracle."""
