@@ -111,10 +111,23 @@ def main():
     )
     batch = int(os.environ.get("BENCH_BATCH", "128"))
 
+    from focused_attention_vit_tpu.models import SPPPViT
+
     vit = VisionTransformer(**common)
     vit_ips = bench_train(vit, batch, 224)
     mhla_ips = bench_train(
         VisionTransformerMHLA(**common, window_size=7, use_mhla=True),
+        batch,
+        224,
+    )
+    # SPPP at its reference defaults (patch 4, R=16 → 17 tokens): the cost
+    # is SLIC + patch embed + pooling, with tiny attention.
+    sppp_ips = bench_train(
+        SPPPViT(
+            img_size=224, patch_size=4, num_classes=10, embed_dim=768,
+            depth=12, num_heads=12, num_superpixels=16, dropout=0.1,
+            dtype=jnp.bfloat16,
+        ),
         batch,
         224,
     )
@@ -128,6 +141,7 @@ def main():
         "extra": {
             "mhla_b16_images_per_sec_fwd_bwd": round(mhla_ips, 2),
             "mhla_vs_torch_cpu": round(mhla_ips / TORCH_CPU_MHLA_B16_FWD_BWD, 1),
+            "sppp_p4_r16_images_per_sec_fwd_bwd": round(sppp_ips, 2),
             "eval_batch_latency_p50_ms": round(eval_p50 * 1000, 2),
             "eval_images_per_sec": round(batch / eval_p50, 1),
             "batch": batch,

@@ -17,8 +17,7 @@ fixed by exporting both the corrected and the reference spellings.
 from __future__ import annotations
 
 import os
-import time
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass
 from typing import Any, Callable, Dict, Optional
 
 import jax

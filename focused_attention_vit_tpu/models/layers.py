@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -90,10 +91,26 @@ class MultiHeadAttention(nn.Module):
             3 * self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="qkv"
         )(x)
         q, k, v = attn_ops.qkv_split(qkv, self.num_heads)
-        out = attn_ops.multi_head_attention(q, k, v, use_flash=self.use_flash)
-        # Attention-weight dropout is a no-op in eval mode; in the fused
-        # kernel path weight dropout is not applied (documented deviation —
-        # the reference never trains with attn_dropout > 0 by default).
+        if self.dropout > 0.0 and not deterministic:
+            # Train-mode attention-weight dropout (reference:
+            # models/vit.py:96-97). Materializes the score matrix, so it is
+            # only taken when actually requested; the flash path cannot
+            # apply weight dropout.
+            d = q.shape[-1]
+            logits = jnp.einsum(
+                "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32
+            ) * (d**-0.5)
+            weights = jax.nn.softmax(logits, axis=-1)
+            weights = nn.Dropout(self.dropout)(
+                weights, deterministic=deterministic
+            )
+            out = jnp.einsum(
+                "bhst,bhtd->bhsd", weights.astype(v.dtype), v
+            )
+        else:
+            out = attn_ops.multi_head_attention(
+                q, k, v, use_flash=self.use_flash
+            )
         out = attn_ops.merge_heads(out)
         out = nn.Dense(
             self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="proj"
@@ -136,9 +153,38 @@ class MultiHeadLatentAttention(nn.Module):
         k = latent(k)
         v = latent(v)
 
-        out = window_ops.windowed_latent_attention(
-            q, k, v, self.window_size, attention_mask
-        )
+        if self.dropout > 0.0 and not deterministic:
+            # Train-mode attention-weight dropout on the [B,h,S,W] window
+            # weights (reference: models/mhla.py:146-147) — gather
+            # formulation, only taken when requested.
+            b, h, s, d = q.shape
+            table = jnp.asarray(
+                window_ops.window_index_table(s, self.window_size)
+            )
+            k_win = jnp.take(k, table, axis=2)
+            v_win = jnp.take(v, table, axis=2)
+            logits = jnp.einsum(
+                "bhsd,bhswd->bhsw", q, k_win,
+                preferred_element_type=jnp.float32,
+            ) * (d**-0.5)
+            if attention_mask is not None:
+                mask_win = jnp.take_along_axis(
+                    attention_mask, table[None, :, :], axis=2
+                )[:, None]
+                logits = jnp.where(
+                    mask_win == 0, jnp.finfo(logits.dtype).min, logits
+                )
+            weights = jax.nn.softmax(logits, axis=-1)
+            weights = nn.Dropout(self.dropout)(
+                weights, deterministic=deterministic
+            )
+            out = jnp.einsum(
+                "bhsw,bhswd->bhsd", weights.astype(v.dtype), v_win
+            )
+        else:
+            out = window_ops.windowed_latent_attention(
+                q, k, v, self.window_size, attention_mask
+            )
         out = attn_ops.merge_heads(out)
         out = nn.Dense(
             self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="proj"
@@ -285,9 +331,23 @@ class CrossAttention(nn.Module):
         q = nn.Dense(self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="q_proj")(query)
         k = nn.Dense(self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="k_proj")(key_value)
         v = nn.Dense(self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="v_proj")(key_value)
-        out = attn_ops.scaled_dot_product_attention(
-            q, k, v, mask=attention_mask, scale=self.embed_dim**-0.5
-        )
+        if self.dropout > 0.0 and not deterministic:
+            # Weight dropout (reference: models/attention.py:71-72).
+            logits = jnp.einsum(
+                "bsd,btd->bst", q, k, preferred_element_type=jnp.float32
+            ) * (self.embed_dim**-0.5)
+            if attention_mask is not None:
+                logits = jnp.where(
+                    attention_mask == 0, jnp.finfo(logits.dtype).min, logits
+                )
+            weights = nn.Dropout(self.dropout)(
+                jax.nn.softmax(logits, axis=-1), deterministic=deterministic
+            )
+            out = jnp.einsum("bst,btd->bsd", weights.astype(v.dtype), v)
+        else:
+            out = attn_ops.scaled_dot_product_attention(
+                q, k, v, mask=attention_mask, scale=self.embed_dim**-0.5
+            )
         return nn.Dense(
             self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="out_proj"
         )(out)
@@ -317,7 +377,22 @@ class MultiHeadCrossAttention(nn.Module):
         k = attn_ops.split_heads(k, self.num_heads)
         v = attn_ops.split_heads(v, self.num_heads)
         mask = attention_mask[:, None] if attention_mask is not None else None
-        out = attn_ops.scaled_dot_product_attention(q, k, v, mask=mask)
+        if self.dropout > 0.0 and not deterministic:
+            # Weight dropout (reference: models/attention.py:140-141).
+            d = q.shape[-1]
+            logits = jnp.einsum(
+                "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32
+            ) * (d**-0.5)
+            if mask is not None:
+                logits = jnp.where(
+                    mask == 0, jnp.finfo(logits.dtype).min, logits
+                )
+            weights = nn.Dropout(self.dropout)(
+                jax.nn.softmax(logits, axis=-1), deterministic=deterministic
+            )
+            out = jnp.einsum("bhst,bhtd->bhsd", weights.astype(v.dtype), v)
+        else:
+            out = attn_ops.scaled_dot_product_attention(q, k, v, mask=mask)
         out = attn_ops.merge_heads(out)
         return nn.Dense(
             self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="out_proj"

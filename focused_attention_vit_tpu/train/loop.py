@@ -112,8 +112,6 @@ def evaluate_detailed(
     preds = probs.argmax(-1)
     labels = np.asarray(labels)
 
-    import jax.numpy as jnp
-
     return {
         "accuracy": float((preds == labels).mean()),
         "auc_macro_ovr": float(

@@ -107,7 +107,13 @@ def make_eval_step(
         logits = state.apply_fn({"params": state.params}, images).astype(
             jnp.float32
         )
-        losses = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        # Clamp at the mathematical floor: TPU transcendental error can
+        # push near-zero CE slightly negative when |logits| is large
+        # (observed ~1e-3 at full overfit).
+        losses = jnp.maximum(
+            optax.softmax_cross_entropy_with_integer_labels(logits, labels),
+            0.0,
+        )
         correct = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
         metrics = {
             "loss_sum": jnp.sum(losses * mask),

@@ -93,6 +93,28 @@ def test_jit_no_recompile_across_batches():
     assert traces == 1
 
 
+@pytest.mark.parametrize("maker", [
+    lambda: fmodels.VisionTransformer(**TINY, attn_dropout=0.5),
+    lambda: fmodels.VisionTransformerMHLA(
+        **TINY, window_size=5, use_mhla=True, attn_dropout=0.5
+    ),
+    lambda: fmodels.CrossAttentionViT(**TINY, use_multi_head=True, attn_dropout=0.5),
+    lambda: fmodels.CrossAttentionViT(**TINY, use_multi_head=False, attn_dropout=0.5),
+], ids=["mha", "mhla", "xattn_mh", "xattn"])
+def test_attention_weight_dropout(maker):
+    """Attention-weight dropout is stochastic in train mode (reference
+    applies dropout to softmax weights) and absent in eval mode."""
+    model = maker()
+    x = _images()
+    variables = model.init(jax.random.PRNGKey(0), x)
+    t1 = model.apply(variables, x, False, rngs={"dropout": jax.random.PRNGKey(1)})
+    t2 = model.apply(variables, x, False, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
+    e1 = model.apply(variables, x)
+    e2 = model.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
 def test_dropout_training_mode_differs():
     model = fmodels.VisionTransformer(**TINY, dropout=0.5)
     x = _images()
