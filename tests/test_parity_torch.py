@@ -138,6 +138,33 @@ class TestMHLAParity:
         np.testing.assert_allclose(got, expect, atol=ATOL)
 
 
+class TestComplexityFormulaParity:
+    @pytest.mark.parametrize(
+        "cfg",
+        [
+            dict(img_size=224, patch_size=16, embed_dim=768, depth=12, num_heads=12),
+            dict(img_size=224, patch_size=4, embed_dim=768, depth=12, num_heads=12),
+            dict(img_size=32, patch_size=4, embed_dim=64, depth=2, num_heads=4,
+                 mlp_ratio=2.0),
+        ],
+    )
+    def test_matches_reference(self, cfg):
+        """The analytical complexity model must match the reference's
+        closed form number-for-number (utils/metrics.py:54-149) — the
+        experiment CSVs carry these values."""
+        from utils.metrics import calculate_vit_complexity as ref_fn
+
+        from focused_attention_vit_tpu.utils.metrics import (
+            calculate_vit_complexity as our_fn,
+        )
+
+        expect = ref_fn(**cfg)
+        got = our_fn(**cfg)
+        for key in ("parameters", "flops", "time_complexity",
+                    "space_complexity_bytes", "space_complexity_mb"):
+            assert got[key] == pytest.approx(expect[key]), key
+
+
 class TestCrossAttentionParity:
     @pytest.mark.parametrize("use_multi_head", [False, True])
     def test_cross_block(self, use_multi_head):
