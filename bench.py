@@ -89,9 +89,9 @@ def bench_eval_latency(model, batch, img_size, iters=30, num_classes=10):
 
 
 def main():
-    from focused_attention_vit_tpu.utils.compile_cache import enable as _cc
+    from focused_attention_vit_tpu.utils.tpu_setup import configure as _configure
 
-    _cc()
+    _configure()
 
     from focused_attention_vit_tpu.models import (
         VisionTransformer,

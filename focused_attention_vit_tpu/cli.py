@@ -197,9 +197,9 @@ def main(argv=None):
 
     import jax
 
-    from focused_attention_vit_tpu.utils.compile_cache import enable as _cc
+    from focused_attention_vit_tpu.utils.tpu_setup import configure as _configure
 
-    _cc()
+    _configure()
 
     logger.info("Experiment: %s", args.experiment)
     logger.info("Dataset: %s", args.dataset)
