@@ -68,6 +68,28 @@ def test_tp_rules_shard_mlp():
     assert shard_shape == (32, 128 // 2)
 
 
+def test_sppp_model_shards_over_data_axis():
+    """The SPPP pipeline (vmapped SLIC + segment pooling) must compile and
+    run under batch sharding — the shape-static design exists exactly for
+    this."""
+    mesh = make_mesh(8, tp=1)
+    model = fmodels.SPPPViT(**TINY, num_superpixels=4, slic_iters=2)
+    rng = np.random.default_rng(0)
+    x_u8 = jnp.asarray(rng.integers(0, 255, size=(16, 16, 16, 3)), dtype=jnp.uint8)
+    y = jnp.asarray(rng.integers(0, 5, size=(16,)))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 16, 16, 3)))["params"]
+
+    tx = optax.adamw(1e-3)
+    params = shard_params(params, mesh)
+    opt_state = tx.init(params)
+    step = make_sharded_train_step(model, tx, mesh, img_size=16)
+    x_u8 = jax.device_put(x_u8, NamedSharding(mesh, P("data")))
+    y = jax.device_put(y, NamedSharding(mesh, P("data")))
+    key = jax.device_put(jax.random.PRNGKey(0), NamedSharding(mesh, P()))
+    _, _, m = step(params, opt_state, x_u8, y, key)
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_dp_matches_single_device():
     """DP-sharded step must produce the same loss as an unsharded run."""
     mesh, model, params, x_u8, y = _setup(tp=1)
