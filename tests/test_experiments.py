@@ -152,6 +152,46 @@ def test_visualize_outputs(dirs):
     assert os.path.exists(os.path.join(dirs["results_dir"], "sample_patches.png"))
 
 
+def test_batch_runners_construct_all_four_configs(dirs, monkeypatch):
+    """The 4A-D / 5A-D batch runners must instantiate the reference's four
+    sub-configurations (experiments/attention.py:628-819)."""
+    from types import SimpleNamespace
+
+    from focused_attention_vit_tpu.experiments import attention as attn_mod
+
+    seen = []
+    monkeypatch.setattr(
+        attn_mod.CrossAttentionExperiment,
+        "run",
+        lambda self: seen.append(
+            (self.use_sppp, self.use_pretrained, self.use_multi_head,
+             self.csv_filename)
+        ),
+    )
+    args = SimpleNamespace(
+        img_size=16, patch_size=4, dataset="cifar10", embed_dim=32, depth=1,
+        num_heads=2, mlp_ratio=4.0, dropout=0.1, attn_dropout=0.0,
+        embed_dropout=0.0, batch_size=32, learning_rate=1e-4,
+        weight_decay=0.05, epochs=1, data_dir=dirs["data_dir"],
+        results_dir=dirs["results_dir"], subset_size=64, num_superpixels=4,
+        compactness=0.1, pooling_type="mean",
+        pretrained_model_variant="vit_b_16", pretrained_source="torchvision",
+        freeze_layers=False, seed=0,
+    )
+    attn_mod.run_cross_attention_experiments(args)
+    assert [s[:3] for s in seen] == [
+        (False, False, False), (True, False, False),
+        (False, True, False), (True, True, False),
+    ]
+    assert seen[0][3] == "exp4_cross_attention_traditional.csv"
+    assert seen[3][3] == "exp4_cross_attention_pretrained_sppp.csv"
+
+    seen.clear()
+    attn_mod.run_multihead_cross_attention_experiments(args)
+    assert all(s[2] for s in seen) and len(seen) == 4
+    assert seen[1][3] == "exp5_multihead_cross_attention_sppp.csv"
+
+
 def test_cli_dispatch(dirs, capsys):
     """The CLI must dispatch every experiment name without the reference's
     import crashes (main.py:41-43)."""
