@@ -32,19 +32,21 @@ def auc_ovr(scores: jnp.ndarray, labels: jnp.ndarray, num_classes: int) -> jnp.n
     AUC for class c equals the Mann-Whitney U statistic of the class-c
     scores of positives vs negatives: (sum of positive ranks - offset) /
     (n_pos * n_neg), with average ranks for ties. Classes absent from
-    ``labels`` are excluded from the macro average.
+    ``labels`` are excluded from the macro average. Computed in float32 —
+    exact for rank sums up to 2^24 (test sets ≲ a few thousand positives
+    per class; CIFAR-scale is well inside).
     """
     n = scores.shape[0]
 
     def one_class(c):
         s = scores[:, c]
-        pos = (labels == c).astype(jnp.float64)
+        pos = (labels == c).astype(jnp.float32)
         order = jnp.argsort(s)
         s_sorted = s[order]
         pos_sorted = pos[order]
         # Average ranks with ties: rank of each element = mean of the
         # 1-based index range occupied by its tied group.
-        idx = jnp.arange(1, n + 1, dtype=jnp.float64)
+        idx = jnp.arange(1, n + 1, dtype=jnp.float32)
         # Group boundaries where value changes.
         new_group = jnp.concatenate(
             [jnp.array([True]), s_sorted[1:] != s_sorted[:-1]]
@@ -59,7 +61,7 @@ def auc_ovr(scores: jnp.ndarray, labels: jnp.ndarray, num_classes: int) -> jnp.n
         u = rank_sum - n_pos * (n_pos + 1) / 2.0
         auc = u / jnp.maximum(n_pos * n_neg, 1.0)
         valid = (n_pos > 0) & (n_neg > 0)
-        return jnp.where(valid, auc, 0.0), valid.astype(jnp.float64)
+        return jnp.where(valid, auc, 0.0), valid.astype(jnp.float32)
 
     aucs, valids = jax.vmap(one_class)(jnp.arange(num_classes))
     return (jnp.sum(aucs) / jnp.maximum(jnp.sum(valids), 1.0)).astype(

@@ -1,0 +1,60 @@
+"""Metric correctness: AUC vs an independent rank-based computation,
+confusion matrix counts."""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.stats import rankdata
+
+from focused_attention_vit_tpu.train.metrics import (
+    auc_ovr,
+    confusion_matrix,
+    accuracy_from_logits,
+)
+
+
+def _auc_numpy(scores, labels, num_classes):
+    aucs = []
+    for c in range(num_classes):
+        pos = labels == c
+        n_pos, n_neg = pos.sum(), (~pos).sum()
+        if n_pos == 0 or n_neg == 0:
+            continue
+        ranks = rankdata(scores[:, c])
+        u = ranks[pos].sum() - n_pos * (n_pos + 1) / 2
+        aucs.append(u / (n_pos * n_neg))
+    return float(np.mean(aucs))
+
+
+def test_auc_matches_rank_computation(rng):
+    n, c = 400, 6
+    labels = rng.integers(0, c, n)
+    # Scores correlated with labels + ties to exercise the tie handling.
+    scores = rng.normal(size=(n, c)).round(1)
+    scores[np.arange(n), labels] += rng.normal(1.0, 0.5, n).round(1)
+    got = float(auc_ovr(jnp.asarray(scores.astype(np.float32)),
+                        jnp.asarray(labels), c))
+    expect = _auc_numpy(scores.astype(np.float32), labels, c)
+    assert abs(got - expect) < 1e-5
+
+
+def test_auc_perfect_and_chance(rng):
+    labels = rng.integers(0, 3, 120)
+    onehot = np.eye(3, dtype=np.float32)[labels]
+    assert float(auc_ovr(jnp.asarray(onehot), jnp.asarray(labels), 3)) == 1.0
+    const = np.ones((120, 3), np.float32)
+    assert abs(float(auc_ovr(jnp.asarray(const), jnp.asarray(labels), 3)) - 0.5) < 1e-6
+
+
+def test_confusion_matrix_counts(rng):
+    labels = np.array([0, 0, 1, 2, 2, 2])
+    preds = np.array([0, 1, 1, 2, 0, 2])
+    cm = np.asarray(confusion_matrix(jnp.asarray(preds), jnp.asarray(labels), 3))
+    expect = np.array([[1, 1, 0], [0, 1, 0], [1, 0, 2]])
+    np.testing.assert_array_equal(cm, expect)
+    assert cm.sum() == len(labels)
+
+
+def test_accuracy(rng):
+    logits = np.array([[1.0, 0.0], [0.0, 1.0], [2.0, 1.0]], np.float32)
+    labels = np.array([0, 1, 1])
+    assert abs(float(accuracy_from_logits(jnp.asarray(logits), jnp.asarray(labels))) - 2 / 3) < 1e-6
