@@ -87,6 +87,15 @@ def parse_args(argv=None):
                         choices=["float32", "bfloat16"],
                         help="Model/pipeline compute dtype (bfloat16 for "
                              "MXU-native training; params stay float32)")
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="Train on a ('data','model') device mesh of "
+                             "this many chips (-1 = all available); batch "
+                             "sharded over 'data', XLA grad all-reduce "
+                             "over ICI")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="Tensor-parallel ('model') axis size; must "
+                             "divide --num_devices. Shards MLP hidden dim "
+                             "and attention heads Megatron-style")
 
     return parser.parse_args(argv)
 
@@ -119,6 +128,8 @@ def _common_kwargs(args):
         detailed_metrics=not args.no_detailed_metrics,
         compute_dtype=args.compute_dtype,
         remat=args.remat,
+        num_devices=args.num_devices,
+        tp=args.tp,
     )
 
 

@@ -19,6 +19,13 @@ windowed approximation of the pretrained MHA
 
 Linear-layer convention: torch stores [out, in]; Flax Dense kernels are
 [in, out] — every weight is transposed on the way through.
+
+Self-attention layout: the Flax modules project qkv with a head-shaped
+``nn.DenseGeneral`` — kernel ``[D, 3, h, d]``, bias ``[3, h, d]`` — and the
+output projection with kernel ``[h, d, D]`` (see models/layers.py). The
+torch fused layout ([q|k|v]-major rows with contiguous heads inside each,
+reference models/vit.py:90-92) reshapes into this exactly: row index
+``= qkv*D + head*d + i``.
 """
 
 from __future__ import annotations
@@ -49,6 +56,46 @@ def _layernorm(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
     }
 
 
+def _fused_qkv_heads(
+    weight: Any, bias: Any | None, num_heads: int
+) -> Dict[str, np.ndarray]:
+    """torch fused qkv ``[3D, D_in]`` (+bias ``[3D]``) → head-shaped kernel
+    ``[D_in, 3, h, d]`` / bias ``[3, h, d]``."""
+    w = _np(weight).T  # [D_in, 3D]
+    d_in = w.shape[0]
+    head_dim = w.shape[1] // 3 // num_heads
+    out = {"kernel": w.reshape(d_in, 3, num_heads, head_dim)}
+    if bias is not None:
+        out["bias"] = _np(bias).reshape(3, num_heads, head_dim)
+    return out
+
+
+def _head_proj(
+    weight: Any, bias: Any | None, num_heads: int
+) -> Dict[str, np.ndarray]:
+    """torch out-projection ``[D_out, D_in]`` → head-major kernel
+    ``[h, d, D_out]`` (rows of D_in are head-contiguous)."""
+    w = _np(weight).T  # [D_in, D_out]
+    d_out = w.shape[1]
+    head_dim = w.shape[0] // num_heads
+    out = {"kernel": w.reshape(num_heads, head_dim, d_out)}
+    if bias is not None:
+        out["bias"] = _np(bias)
+    return out
+
+
+def _attn_qkv(sd: Mapping[str, Any], prefix: str, num_heads: int):
+    return _fused_qkv_heads(
+        sd[f"{prefix}.weight"], sd.get(f"{prefix}.bias"), num_heads
+    )
+
+
+def _attn_proj(sd: Mapping[str, Any], prefix: str, num_heads: int):
+    return _head_proj(
+        sd[f"{prefix}.weight"], sd.get(f"{prefix}.bias"), num_heads
+    )
+
+
 def _conv_patch_to_linear(weight: Any) -> np.ndarray:
     """Conv2d patch embed [D, C, p, p] → linear kernel [p*p*C, D].
 
@@ -69,7 +116,9 @@ def _mlp_from(sd, fc1: str, fc2: str) -> Dict[str, Any]:
 # Reference-format converters
 # ---------------------------------------------------------------------------
 
-def reference_vit_to_flax(sd: Mapping[str, Any], depth: int) -> Dict[str, Any]:
+def reference_vit_to_flax(
+    sd: Mapping[str, Any], depth: int, num_heads: int = 12
+) -> Dict[str, Any]:
     """Reference ``VisionTransformer`` state dict → Flax params.
 
     Reference module layout: models/vit.py:182-274 (patch_embed.projection
@@ -87,8 +136,8 @@ def reference_vit_to_flax(sd: Mapping[str, Any], depth: int) -> Dict[str, Any]:
         params[f"blocks_{i}"] = {
             "norm1": _layernorm(sd, f"{p}.norm1"),
             "attn": {
-                "qkv": _linear(sd, f"{p}.attn.qkv"),
-                "proj": _linear(sd, f"{p}.attn.proj"),
+                "qkv": _attn_qkv(sd, f"{p}.attn.qkv", num_heads),
+                "proj": _attn_proj(sd, f"{p}.attn.proj", num_heads),
             },
             "norm2": _layernorm(sd, f"{p}.norm2"),
             "mlp": _mlp_from(sd, f"{p}.mlp.fc1", f"{p}.mlp.fc2"),
@@ -97,7 +146,7 @@ def reference_vit_to_flax(sd: Mapping[str, Any], depth: int) -> Dict[str, Any]:
 
 
 def reference_mhla_vit_to_flax(
-    sd: Mapping[str, Any], depth: int
+    sd: Mapping[str, Any], depth: int, num_heads: int = 12
 ) -> Dict[str, Any]:
     """Reference MHLA-block models (models/mhla_models.py:22-175 layout;
     MHLA block MLP is an anonymous Sequential: mlp.0 / mlp.3,
@@ -115,9 +164,9 @@ def reference_mhla_vit_to_flax(
         params[f"blocks_{i}"] = {
             "norm1": _layernorm(sd, f"{p}.norm1"),
             "attn": {
-                "qkv": _linear(sd, f"{p}.attn.qkv"),
+                "qkv": _attn_qkv(sd, f"{p}.attn.qkv", num_heads),
                 "latent_proj": _linear(sd, f"{p}.attn.latent_proj"),
-                "proj": _linear(sd, f"{p}.attn.proj"),
+                "proj": _attn_proj(sd, f"{p}.attn.proj", num_heads),
             },
             "norm2": _layernorm(sd, f"{p}.norm2"),
             "mlp": _mlp_from(sd, f"{p}.mlp.0", f"{p}.mlp.3"),
@@ -126,7 +175,7 @@ def reference_mhla_vit_to_flax(
 
 
 def reference_vit_mhla_to_flax(
-    sd: Mapping[str, Any], depth: int, use_mhla: bool
+    sd: Mapping[str, Any], depth: int, use_mhla: bool, num_heads: int = 12
 ) -> Dict[str, Any]:
     """Reference ``VisionTransformerMHLA`` state dict → Flax params.
 
@@ -147,17 +196,18 @@ def reference_vit_mhla_to_flax(
         p = f"blocks.{i}"
         if use_mhla:
             attn = {
-                "qkv": _linear(sd, f"{p}.attn.qkv"),
+                "qkv": _attn_qkv(sd, f"{p}.attn.qkv", num_heads),
                 "latent_proj": _linear(sd, f"{p}.attn.latent_proj"),
-                "proj": _linear(sd, f"{p}.attn.proj"),
+                "proj": _attn_proj(sd, f"{p}.attn.proj", num_heads),
             }
         else:
             attn = {
-                "qkv": {
-                    "kernel": _np(sd[f"{p}.attn.in_proj_weight"]).T,
-                    "bias": _np(sd[f"{p}.attn.in_proj_bias"]),
-                },
-                "proj": _linear(sd, f"{p}.attn.out_proj"),
+                "qkv": _fused_qkv_heads(
+                    sd[f"{p}.attn.in_proj_weight"],
+                    sd[f"{p}.attn.in_proj_bias"],
+                    num_heads,
+                ),
+                "proj": _attn_proj(sd, f"{p}.attn.out_proj", num_heads),
             }
         params[f"blocks_{i}"] = {
             "norm1": _layernorm(sd, f"{p}.norm1"),
@@ -221,6 +271,7 @@ def torchvision_vit_to_flax(
     sd: Mapping[str, Any],
     depth: int = 12,
     num_classes: int | None = None,
+    num_heads: int = 12,
 ) -> Dict[str, Any]:
     """torchvision ``vit_b_16``-family state dict → Flax params.
 
@@ -252,11 +303,12 @@ def torchvision_vit_to_flax(
         params[f"blocks_{i}"] = {
             "norm1": _layernorm(sd, f"{p}.ln_1"),
             "attn": {
-                "qkv": {
-                    "kernel": _np(sd[f"{p}.self_attention.in_proj_weight"]).T,
-                    "bias": _np(sd[f"{p}.self_attention.in_proj_bias"]),
-                },
-                "proj": _linear(sd, f"{p}.self_attention.out_proj"),
+                "qkv": _fused_qkv_heads(
+                    sd[f"{p}.self_attention.in_proj_weight"],
+                    sd[f"{p}.self_attention.in_proj_bias"],
+                    num_heads,
+                ),
+                "proj": _attn_proj(sd, f"{p}.self_attention.out_proj", num_heads),
             },
             "norm2": _layernorm(sd, f"{p}.ln_2"),
             "mlp": _mlp_from(sd, f"{p}.mlp.linear_1", f"{p}.mlp.linear_2"),
@@ -268,6 +320,7 @@ def hf_vit_to_flax(
     sd: Mapping[str, Any],
     depth: int = 12,
     num_classes: int | None = None,
+    num_heads: int = 12,
 ) -> Dict[str, Any]:
     """HuggingFace ``ViTModel`` state dict → Flax params.
 
@@ -282,10 +335,11 @@ def hf_vit_to_flax(
         qb = _np(sd[f"{p}.attention.attention.query.bias"])
         kb = _np(sd[f"{p}.attention.attention.key.bias"])
         vb = _np(sd[f"{p}.attention.attention.value.bias"])
-        return {
-            "kernel": np.concatenate([qw, kw, vw], axis=0).T,
-            "bias": np.concatenate([qb, kb, vb], axis=0),
-        }
+        return _fused_qkv_heads(
+            np.concatenate([qw, kw, vw], axis=0),
+            np.concatenate([qb, kb, vb], axis=0),
+            num_heads,
+        )
 
     params: Dict[str, Any] = {
         "patch_embed": {
@@ -306,7 +360,7 @@ def hf_vit_to_flax(
             "norm1": _layernorm(sd, f"{p}.layernorm_before"),
             "attn": {
                 "qkv": cat_qkv(p),
-                "proj": _linear(sd, f"{p}.attention.output.dense"),
+                "proj": _attn_proj(sd, f"{p}.attention.output.dense", num_heads),
             },
             "norm2": _layernorm(sd, f"{p}.layernorm_after"),
             "mlp": _mlp_from(sd, f"{p}.intermediate.dense", f"{p}.output.dense"),
@@ -319,16 +373,25 @@ def hf_vit_to_flax(
 
 
 def split_fused_qkv(qkv_kernel: np.ndarray, qkv_bias: np.ndarray):
-    """Fused qkv kernel [D, 3D] → (q, k, v) kernels [D, D] + biases.
+    """Head-shaped fused qkv kernel [D, 3, h, d] → (q, k, v) kernels
+    [D, D] + biases [D].
 
     Used when adapting a standard ViT into the cross-attention models,
-    which keep separate q/k/v projections — the inverse of the HF concat
-    (the reference does this split at experiments/attention.py:245-266).
+    which keep separate flat q/k/v projections — the inverse of the HF
+    concat (the reference does this split at
+    experiments/attention.py:245-266). Flat [D, 3D] input (the torch fused
+    layout transposed) is also accepted.
     """
-    d = qkv_kernel.shape[0]
-    qw, kw, vw = np.split(qkv_kernel, 3, axis=1)
-    qb, kb, vb = np.split(qkv_bias, 3, axis=0)
-    return (qw, qb), (kw, kb), (vw, vb)
+    qkv_kernel = np.asarray(qkv_kernel)
+    qkv_bias = np.asarray(qkv_bias)
+    d_in = qkv_kernel.shape[0]
+    if qkv_kernel.ndim == 2:  # flat [D, 3D]
+        qw, kw, vw = np.split(qkv_kernel, 3, axis=1)
+        qb, kb, vb = np.split(qkv_bias, 3, axis=0)
+        return (qw, qb), (kw, kb), (vw, vb)
+    ws = [qkv_kernel[:, i].reshape(d_in, -1) for i in range(3)]
+    bs = [qkv_bias[i].reshape(-1) for i in range(3)]
+    return (ws[0], bs[0]), (ws[1], bs[1]), (ws[2], bs[2])
 
 
 # ---------------------------------------------------------------------------
@@ -393,6 +456,10 @@ def vit_params_to_cross(
                 np.asarray(attn_in["qkv"]["kernel"]),
                 np.asarray(attn_in["qkv"]["bias"]),
             )
+            out_proj = dict(attn_in["proj"])
+            out_k = np.asarray(out_proj["kernel"])
+            if out_k.ndim == 3:  # head-major [h, d, D] → flat [D, D]
+                out_proj["kernel"] = out_k.reshape(-1, out_k.shape[-1])
             blk = {
                 "norm1_query": blk["norm1"],
                 "norm1_kv": {
@@ -403,7 +470,7 @@ def vit_params_to_cross(
                     "q_proj": {"kernel": qw, "bias": qb},
                     "k_proj": {"kernel": kw, "bias": kb},
                     "v_proj": {"kernel": vw, "bias": vb},
-                    "out_proj": attn_in["proj"],
+                    "out_proj": out_proj,
                 },
                 "norm2": blk["norm2"],
                 "mlp": blk["mlp"],

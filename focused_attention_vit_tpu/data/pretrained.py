@@ -83,7 +83,12 @@ def load_pretrained_vit_params(
         sd = _load_torch_state_dict(pth)
         logger.info("Loaded cached torch checkpoint %s", pth)
         return (
-            torchvision_vit_to_flax(sd, depth=cfg["depth"], num_classes=num_classes),
+            torchvision_vit_to_flax(
+                sd,
+                depth=cfg["depth"],
+                num_classes=num_classes,
+                num_heads=cfg["num_heads"],
+            ),
             cfg,
         )
 
@@ -101,7 +106,12 @@ def load_pretrained_vit_params(
             sd = model.state_dict()
             logger.info("Loaded local HF snapshot %s", hf_name)
             return (
-                hf_vit_to_flax(sd, depth=cfg["depth"], num_classes=num_classes),
+                hf_vit_to_flax(
+                    sd,
+                    depth=cfg["depth"],
+                    num_classes=num_classes,
+                    num_heads=cfg["num_heads"],
+                ),
                 cfg,
             )
         except Exception as e:  # no snapshot / no network
@@ -119,7 +129,12 @@ def load_pretrained_vit_params(
 
         torch.save(sd, pth)
         return (
-            torchvision_vit_to_flax(sd, depth=cfg["depth"], num_classes=num_classes),
+            torchvision_vit_to_flax(
+                sd,
+                depth=cfg["depth"],
+                num_classes=num_classes,
+                num_heads=cfg["num_heads"],
+            ),
             cfg,
         )
     except Exception as e:

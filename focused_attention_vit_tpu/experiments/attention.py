@@ -200,6 +200,8 @@ def _args_to_kwargs(args) -> Dict[str, Any]:
         freeze_layers=args.freeze_layers,
         dataset=args.dataset,
         seed=args.seed,
+        num_devices=getattr(args, "num_devices", None),
+        tp=getattr(args, "tp", 1),
     )
 
 

@@ -79,6 +79,8 @@ class ExperimentBase:
     detailed_metrics: bool = True  # AUC + confusion matrix at evaluate()
     compute_dtype: str = "float32"  # 'bfloat16' for MXU-native training
     remat: bool = False  # gradient checkpointing for long-sequence configs
+    num_devices: Optional[int] = None  # >1 (or -1 = all) trains on a mesh
+    tp: int = 1  # 'model' (tensor-parallel) axis size of the mesh
 
     # --- subclass hooks -----------------------------------------------------
     model_display_name: str = "Traditional ViT"
@@ -151,12 +153,44 @@ class ExperimentBase:
         self.metrics["theoretical"] = self.theoretical_metrics()
         self.metrics["model_size"] = calculate_model_size(self.state.params)
 
+        self.mesh = self._build_mesh()
+        if self.mesh is not None:
+            from focused_attention_vit_tpu.parallel import shard_state
+
+            self.state = shard_state(self.state, self.mesh)
+
         self.train_step = make_train_step(
-            self.img_size, compute_dtype=self.jnp_dtype
+            self.img_size, compute_dtype=self.jnp_dtype, mesh=self.mesh
         )
         self.eval_step = make_eval_step(
-            self.img_size, compute_dtype=self.jnp_dtype
+            self.img_size, compute_dtype=self.jnp_dtype, mesh=self.mesh
         )
+
+    def _build_mesh(self):
+        """Build the ('data','model') device mesh when multi-device training
+        is requested (--num_devices / --tp). The reference has no distributed
+        layer (SURVEY.md §2.4); this is the TPU-native DP/TP addition."""
+        if not self.num_devices and self.tp <= 1:
+            return None
+        from focused_attention_vit_tpu.parallel import make_mesh
+
+        n = self.num_devices
+        if n is None or n <= 0:
+            n = len(jax.devices())
+        if n == 1 and self.tp <= 1:
+            return None
+        mesh = make_mesh(n, tp=self.tp)
+        dp = mesh.shape["data"]
+        if self.batch_size % dp:
+            raise ValueError(
+                f"batch_size={self.batch_size} must be divisible by the "
+                f"data-parallel axis size {dp}"
+            )
+        print(
+            f"Training on a {dict(mesh.shape)} device mesh "
+            f"({mesh.devices.size} devices)"
+        )
+        return mesh
 
     def _sample_batch(self):
         import jax.numpy as jnp
@@ -166,6 +200,10 @@ class ExperimentBase:
 
     def _memory_probe(self, backward: bool) -> Dict[str, float]:
         sample = self._sample_batch()
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sample = jax.device_put(sample, NamedSharding(self.mesh, P()))
         apply = lambda p: self.model.apply({"params": p}, sample)
         try:
             return measure_memory_usage(apply, self.state.params, backward=backward)
@@ -191,6 +229,12 @@ class ExperimentBase:
                 restored = ckpt_mngr.restore(self.state)
                 if restored is not None:
                     self.state = restored
+                    if self.mesh is not None:
+                        from focused_attention_vit_tpu.parallel import (
+                            shard_state,
+                        )
+
+                        self.state = shard_state(self.state, self.mesh)
                     start_epoch = latest
                     print(f"Resumed from checkpoint epoch {latest}")
 

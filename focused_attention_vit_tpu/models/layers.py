@@ -87,10 +87,16 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        qkv = nn.Dense(
-            3 * self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="qkv"
+        head_dim = self.embed_dim // self.num_heads
+        # Head-shaped fused projection (kernel [D, 3, h, d]); the head axis
+        # is TP-shardable without relayout — see ops.attention.qkv_split_heads.
+        qkv = nn.DenseGeneral(
+            features=(3, self.num_heads, head_dim),
+            kernel_init=dense_init,
+            dtype=self.dtype,
+            name="qkv",
         )(x)
-        q, k, v = attn_ops.qkv_split(qkv, self.num_heads)
+        q, k, v = attn_ops.qkv_split_heads(qkv)
         if self.dropout > 0.0 and not deterministic:
             # Train-mode attention-weight dropout (reference:
             # models/vit.py:96-97). Materializes the score matrix, so it is
@@ -111,9 +117,15 @@ class MultiHeadAttention(nn.Module):
             out = attn_ops.multi_head_attention(
                 q, k, v, use_flash=self.use_flash
             )
-        out = attn_ops.merge_heads(out)
-        out = nn.Dense(
-            self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="proj"
+        out = out.transpose(0, 2, 1, 3)  # [B, S, h, d]
+        # Head-major output projection (kernel [h, d, D]): row-sharded under
+        # TP, partial products psum-reduced by XLA.
+        out = nn.DenseGeneral(
+            self.embed_dim,
+            axis=(-2, -1),
+            kernel_init=dense_init,
+            dtype=self.dtype,
+            name="proj",
         )(out)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
@@ -140,10 +152,14 @@ class MultiHeadLatentAttention(nn.Module):
         attention_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        qkv = nn.Dense(
-            3 * self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="qkv"
+        head_dim = self.embed_dim // self.num_heads
+        qkv = nn.DenseGeneral(
+            features=(3, self.num_heads, head_dim),
+            kernel_init=dense_init,
+            dtype=self.dtype,
+            name="qkv",
         )(x)
-        q, k, v = attn_ops.qkv_split(qkv, self.num_heads)  # [B, h, S, d]
+        q, k, v = attn_ops.qkv_split_heads(qkv)  # [B, h, S, d]
         latent = nn.Dense(
             self.embed_dim // self.num_heads,
             kernel_init=dense_init,
@@ -185,9 +201,13 @@ class MultiHeadLatentAttention(nn.Module):
             out = window_ops.windowed_latent_attention(
                 q, k, v, self.window_size, attention_mask
             )
-        out = attn_ops.merge_heads(out)
-        out = nn.Dense(
-            self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="proj"
+        out = out.transpose(0, 2, 1, 3)  # [B, S, h, d]
+        out = nn.DenseGeneral(
+            self.embed_dim,
+            axis=(-2, -1),
+            kernel_init=dense_init,
+            dtype=self.dtype,
+            name="proj",
         )(out)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 

@@ -60,6 +60,21 @@ def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
 
 
+def qkv_split_heads(qkv: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+    """Split a head-shaped fused qkv ``[B, S, 3, h, d]`` into q, k, v
+    ``[B, h, S, d]``.
+
+    The attention modules project with ``nn.DenseGeneral`` to a
+    ``(3, h, d)``-shaped feature tree (kernel ``[D, 3, h, d]``) instead of a
+    flat ``Dense(3D)``: the head axis is then a real array axis on both the
+    parameter and the activation, so tensor parallelism shards it with a
+    plain ``PartitionSpec`` — no GSPMD relayout through a flat-3D reshape
+    (see parallel/sharding.py).
+    """
+    qkv = qkv.transpose(2, 0, 3, 1, 4)  # [3, B, h, S, d]
+    return qkv[0], qkv[1], qkv[2]
+
+
 def qkv_split(qkv: jnp.ndarray, num_heads: int) -> tuple[jnp.ndarray, ...]:
     """Split a fused qkv projection ``[B, S, 3D]`` into per-head q, k, v.
 

@@ -15,6 +15,7 @@ from focused_attention_vit_tpu.parallel.multihost import (
 from focused_attention_vit_tpu.parallel.sharding import (
     param_sharding_rules,
     shard_params,
+    shard_state,
     make_sharded_train_step,
 )
 
@@ -24,5 +25,6 @@ __all__ = [
     "host_batch_slice",
     "param_sharding_rules",
     "shard_params",
+    "shard_state",
     "make_sharded_train_step",
 ]

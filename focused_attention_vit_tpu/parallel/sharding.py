@@ -5,14 +5,14 @@ let XLA insert collectives):
 
 * **DP** — the batch axis of every activation is sharded over 'data';
   gradient all-reduce is emitted automatically by XLA over ICI.
-* **TP (Megatron-style MLP)** — fc1 kernel column-sharded over 'model'
+* **TP (Megatron-style)** — MLP: fc1 kernel column-sharded over 'model'
   (each shard computes a slice of the hidden dim), fc2 kernel row-sharded
-  (partial results psum-reduced by XLA). The attention projections stay
-  replicated in this round: the fused-qkv layout is [q|k|v]-major for
-  checkpoint parity, which GSPMD cannot cleanly propagate through the
-  (3, h, d) reshape without a relayout; MLP TP already covers ~2/3 of the
-  block FLOPs.
-* Everything else (norms, embeddings, head) is replicated.
+  (partial results psum-reduced by XLA). Attention: per-head partitioning —
+  the qkv projection is head-shaped (kernel [D, 3, h, d], see
+  models/layers.py), so the head axis shards directly over 'model' with no
+  relayout; q/k/v/attention stay head-local per shard and the head-major
+  output projection (kernel [h, d, D]) is row-sharded, psum-reduced.
+* Everything else (norms, embeddings, latent_proj, head) is replicated.
 """
 
 from __future__ import annotations
@@ -21,6 +21,7 @@ from typing import Any, Callable, Mapping
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -35,20 +36,67 @@ def _rule_for(path: str, leaf) -> P:
         return P("model")
     if path.endswith("mlp/fc2/kernel"):
         return P("model", None)
+    # Per-head attention TP (kernel [D, 3, h, d] / bias [3, h, d] /
+    # proj kernel [h, d, D] — models/layers.py head-shaped projections).
+    if path.endswith("attn/qkv/kernel") and ndim == 4:
+        return P(None, None, "model", None)
+    if path.endswith("attn/qkv/bias") and ndim == 3:
+        return P(None, "model", None)
+    if path.endswith("attn/proj/kernel") and ndim == 3:
+        return P("model", None, None)
     return P(*([None] * ndim)) if ndim else P()
 
 
+def _fits(spec: P, leaf, mesh: Mesh) -> bool:
+    """True iff every sharded dim of ``leaf`` divides by its axis size."""
+    if not hasattr(leaf, "shape"):
+        return True
+    for dim, axis in zip(leaf.shape, spec):
+        if axis is None:
+            continue
+        size = mesh.shape[axis] if isinstance(axis, str) else int(
+            np.prod([mesh.shape[a] for a in axis])
+        )
+        if dim % size:
+            return False
+    return True
+
+
 def param_sharding_rules(params: Mapping[str, Any], mesh: Mesh):
-    """PartitionSpec pytree for a model parameter pytree."""
+    """PartitionSpec pytree for a model parameter pytree.
+
+    Dims not divisible by their mesh axis (e.g. num_heads % tp != 0) fall
+    back to replication rather than erroring.
+    """
 
     def path_str(path) -> str:
         return "/".join(
             str(getattr(p, "key", getattr(p, "idx", ""))) for p in path
         )
 
+    def rule(path, leaf) -> P:
+        spec = _rule_for(path_str(path), leaf)
+        if not _fits(spec, leaf, mesh):
+            ndim = len(leaf.shape) if hasattr(leaf, "shape") else 0
+            return P(*([None] * ndim)) if ndim else P()
+        return spec
+
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    specs = [_rule_for(path_str(p), leaf) for p, leaf in flat]
+    specs = [rule(p, leaf) for p, leaf in flat]
     return jax.tree_util.tree_unflatten(treedef, specs)
+
+
+def shard_state(state, mesh: Mesh):
+    """Place a full TrainState (params + optimizer state) onto the mesh.
+
+    Optimizer-moment leaves (AdamW mu/nu) mirror the param tree, so their
+    flattened paths end with the same ``<module>/<param>`` suffixes and the
+    same rules apply; scalar counts replicate.
+    """
+    specs = param_sharding_rules(state, mesh)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs
+    )
 
 
 def shard_params(params, mesh: Mesh):

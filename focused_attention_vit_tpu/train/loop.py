@@ -77,6 +77,31 @@ def evaluate(
     }
 
 
+import functools
+
+
+@functools.cache
+def _cached_probs_fn(model, img_size: int):
+    """One jitted softmax-probabilities function per (model, img_size).
+
+    Flax modules are frozen dataclasses (hashable), so the jitted closure is
+    built once per experiment and reused across every ``evaluate_detailed``
+    call — defining it inside the function body would recompile the full
+    model on each eval (several minutes for f32 ViT-B on this toolchain).
+    """
+    import jax.numpy as jnp
+
+    from focused_attention_vit_tpu.data.pipeline import prepare_eval_batch
+
+    @jax.jit
+    def probs_fn(params, images_u8):
+        x = prepare_eval_batch(images_u8, img_size)
+        logits = model.apply({"params": params}, x).astype(jnp.float32)
+        return jax.nn.softmax(logits, axis=-1)
+
+    return probs_fn
+
+
 def evaluate_detailed(
     state,
     model,
@@ -95,14 +120,9 @@ def evaluate_detailed(
     """
     import jax.numpy as jnp
 
-    from focused_attention_vit_tpu.data.pipeline import prepare_eval_batch
     from focused_attention_vit_tpu.train.metrics import auc_ovr, confusion_matrix
 
-    @jax.jit
-    def probs_fn(params, images_u8):
-        x = prepare_eval_batch(images_u8, img_size)
-        logits = model.apply({"params": params}, x).astype(jnp.float32)
-        return jax.nn.softmax(logits, axis=-1)
+    probs_fn = _cached_probs_fn(model, img_size)
 
     all_probs = []
     for xb, yb, mask in padded_eval_batches(images, labels, batch_size):

@@ -35,15 +35,37 @@ def make_train_step(
     std=CIFAR10_STD,
     compute_dtype=jnp.float32,
     sharding_constraint: Optional[Callable] = None,
+    mesh=None,
 ) -> Callable:
     """Build the fused augment+fwd+bwd+update step.
 
     Returns ``train_step(state, images_u8, labels, key) ->
     (state, metrics)`` with metrics = {loss_sum, correct, count} (device
     scalars; divide on host at epoch end).
-    """
 
-    @partial(jax.jit, donate_argnums=(0,))
+    With ``mesh`` (a ('data','model') jax.sharding.Mesh), batch inputs are
+    sharded over 'data' (host numpy batches are split across devices by
+    jit) and the state keeps whatever sharding it was placed with (see
+    parallel.shard_state) — XLA inserts the gradient all-reduce over ICI.
+    """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        batch_sh = NamedSharding(mesh, _P("data"))
+        repl = NamedSharding(mesh, _P())
+        if sharding_constraint is None:
+            sharding_constraint = lambda x: jax.lax.with_sharding_constraint(
+                x, batch_sh
+            )
+        jit = partial(
+            jax.jit,
+            donate_argnums=(0,),
+            in_shardings=(None, batch_sh, batch_sh, repl),
+        )
+    else:
+        jit = partial(jax.jit, donate_argnums=(0,))
+
+    @jit
     def train_step(state, images_u8, labels, key):
         if augment:
             images = augment_train_batch(
@@ -92,14 +114,25 @@ def make_eval_step(
     std=CIFAR10_STD,
     compute_dtype=jnp.float32,
     return_logits: bool = False,
+    mesh=None,
 ) -> Callable:
     """Build ``eval_step(state, images_u8, labels, mask) -> metrics``.
 
     ``mask`` zeroes padded examples (see data/pipeline.padded_eval_batches)
-    so full-dataset metrics are exact with static shapes.
+    so full-dataset metrics are exact with static shapes. With ``mesh``,
+    batch inputs shard over the 'data' axis.
     """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
 
-    @jax.jit
+        batch_sh = NamedSharding(mesh, _P("data"))
+        jit = partial(
+            jax.jit, in_shardings=(None, batch_sh, batch_sh, batch_sh)
+        )
+    else:
+        jit = jax.jit
+
+    @jit
     def eval_step(state, images_u8, labels, mask):
         images = prepare_eval_batch(
             images_u8, img_size, mean=mean, std=std, dtype=compute_dtype

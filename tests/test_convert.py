@@ -52,7 +52,7 @@ def _tv_state_dict(rng, num_classes=1000):
 
 def test_torchvision_layout_roundtrip(rng):
     sd = _tv_state_dict(rng)
-    params = torchvision_vit_to_flax(sd, depth=DEPTH, num_classes=1000)
+    params = torchvision_vit_to_flax(sd, depth=DEPTH, num_classes=1000, num_heads=HEADS)
     model = fmodels.VisionTransformer(
         img_size=IMG, patch_size=P, num_classes=1000,
         embed_dim=D, depth=DEPTH, num_heads=HEADS,
@@ -71,7 +71,7 @@ def test_torchvision_layout_roundtrip(rng):
 
 def test_torchvision_head_dropped_on_class_mismatch(rng):
     sd = _tv_state_dict(rng, num_classes=1000)
-    params = torchvision_vit_to_flax(sd, depth=DEPTH, num_classes=10)
+    params = torchvision_vit_to_flax(sd, depth=DEPTH, num_classes=10, num_heads=HEADS)
     assert "head" not in params  # caller keeps its random head (reference
     # strip-head behaviour, utils/data_utils.py:408-426)
 
@@ -90,7 +90,7 @@ def test_hf_layout_conversion():
     )
     torch.manual_seed(0)
     hf = transformers.ViTModel(cfg, add_pooling_layer=False).eval()
-    params = hf_vit_to_flax(hf.state_dict(), depth=DEPTH)
+    params = hf_vit_to_flax(hf.state_dict(), depth=DEPTH, num_heads=HEADS)
 
     rng = np.random.default_rng(0)
     nchw = rng.normal(size=(2, 3, IMG, IMG)).astype(np.float32)
@@ -123,6 +123,20 @@ def test_split_fused_qkv_roundtrip(rng):
     (qw, qb), (kw, kb), (vw, vb) = split_fused_qkv(k, b)
     np.testing.assert_array_equal(np.concatenate([qw, kw, vw], axis=1), k)
     np.testing.assert_array_equal(np.concatenate([qb, kb, vb]), b)
+
+
+def test_split_fused_qkv_head_shaped(rng):
+    """Head-shaped [D, 3, h, d] input splits identically to the flat
+    layout it reshapes from."""
+    flat_k = rng.normal(size=(D, 3 * D)).astype(np.float32)
+    flat_b = rng.normal(size=(3 * D,)).astype(np.float32)
+    k4 = flat_k.reshape(D, 3, HEADS, D // HEADS)
+    b3 = flat_b.reshape(3, HEADS, D // HEADS)
+    flat = split_fused_qkv(flat_k, flat_b)
+    headed = split_fused_qkv(k4, b3)
+    for (fw, fb), (hw, hb) in zip(flat, headed):
+        np.testing.assert_array_equal(fw, hw)
+        np.testing.assert_array_equal(fb, hb)
 
 
 def test_merge_matching_shapes(rng):

@@ -13,8 +13,11 @@ from focused_attention_vit_tpu.parallel import (
     make_mesh,
     param_sharding_rules,
     shard_params,
+    shard_state,
     make_sharded_train_step,
 )
+from focused_attention_vit_tpu.train.state import TrainState, make_adamw
+from focused_attention_vit_tpu.train.steps import make_train_step, make_eval_step
 
 pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 simulated devices"
@@ -52,12 +55,19 @@ def test_sharded_train_step_runs(tp):
     assert np.isfinite(loss1) and np.isfinite(float(m["loss"]))
 
 
-def test_tp_rules_shard_mlp():
+def test_tp_rules_shard_mlp_and_attention():
     mesh, model, params, *_ = _setup(tp=2)
     rules = param_sharding_rules(params, mesh)
     assert rules["blocks_0"]["mlp"]["fc1"]["kernel"] == P(None, "model")
     assert rules["blocks_0"]["mlp"]["fc2"]["kernel"] == P("model", None)
-    assert rules["blocks_0"]["attn"]["qkv"]["kernel"] == P(None, None)
+    # Per-head attention TP (head-shaped projections, models/layers.py).
+    assert rules["blocks_0"]["attn"]["qkv"]["kernel"] == P(
+        None, None, "model", None
+    )
+    assert rules["blocks_0"]["attn"]["qkv"]["bias"] == P(None, "model", None)
+    assert rules["blocks_0"]["attn"]["proj"]["kernel"] == P(
+        "model", None, None
+    )
 
     sharded = shard_params(params, mesh)
     shard_shape = (
@@ -66,6 +76,28 @@ def test_tp_rules_shard_mlp():
         .data.shape
     )
     assert shard_shape == (32, 128 // 2)
+    # 4 heads of dim 8: each TP shard holds 2 whole heads.
+    qkv_shard = (
+        sharded["blocks_0"]["attn"]["qkv"]["kernel"]
+        .addressable_shards[0]
+        .data.shape
+    )
+    assert qkv_shard == (32, 3, 2, 8)
+
+
+def test_tp_rules_fall_back_when_indivisible():
+    """num_heads=4 does not divide tp=8 → heads replicate, no error."""
+    mesh = make_mesh(8, tp=8)
+    model = fmodels.VisionTransformer(**TINY)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 16, 16, 3))
+    )["params"]
+    rules = param_sharding_rules(params, mesh)
+    assert rules["blocks_0"]["attn"]["qkv"]["kernel"] == P(
+        None, None, None, None
+    )
+    # MLP hidden 128 still divides by 8.
+    assert rules["blocks_0"]["mlp"]["fc1"]["kernel"] == P(None, "model")
 
 
 def test_sppp_model_shards_over_data_axis():
@@ -122,3 +154,105 @@ def test_dp_matches_single_device():
         key,
     )
     np.testing.assert_allclose(float(m_sharded["loss"]), loss_single, rtol=1e-5)
+
+
+def _fresh_state(model, params):
+    copied = jax.tree.map(jnp.array, params)
+    return TrainState.create(
+        apply_fn=model.apply, params=copied, tx=make_adamw(1e-3)
+    )
+
+
+def test_tp2_forward_matches_replicated():
+    """tp=2 head-sharded attention must reproduce the replicated forward
+    at 1e-5 (VERDICT r1 item 4 done-criterion)."""
+    mesh, model, params, x_u8, y = _setup(tp=2)
+    from focused_attention_vit_tpu.data.pipeline import prepare_eval_batch
+
+    imgs = prepare_eval_batch(x_u8, 16)
+    expect = model.apply({"params": params}, imgs)
+
+    sharded = shard_params(jax.tree.map(jnp.array, params), mesh)
+
+    @jax.jit
+    def fwd(p, x):
+        return model.apply({"params": p}, x)
+
+    got = fwd(sharded, jax.device_put(imgs, NamedSharding(mesh, P("data"))))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect), atol=1e-5, rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize("tp", [1, 2])
+def test_dp_trajectory_matches_single_device(tp):
+    """3 training steps with augmentation ON: the mesh path must track the
+    single-device parameter trajectory (same keys, same batches)."""
+    mesh, model, params, x_u8, y = _setup(tp=tp)
+    key = jax.random.PRNGKey(3)
+
+    single = _fresh_state(model, params)
+    step1 = make_train_step(16, augment=True)
+    meshed = shard_state(_fresh_state(model, params), mesh)
+    step2 = make_train_step(16, augment=True, mesh=mesh)
+
+    for i in range(3):
+        k = jax.random.fold_in(key, i)
+        single, m1 = step1(single, x_u8, y, k)
+        meshed, m2 = step2(meshed, x_u8, y, k)
+        np.testing.assert_allclose(
+            float(m1["loss_sum"]), float(m2["loss_sum"]), rtol=1e-4
+        )
+
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_flatten_with_path(single.params)[0],
+        jax.tree_util.tree_flatten_with_path(meshed.params)[0],
+    ):
+        assert p1 == p2
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, err_msg=str(p1)
+        )
+
+
+def test_dp_through_train_and_evaluate():
+    """The full epoch loop (train_and_evaluate) on the mesh matches the
+    single-device loss curve (VERDICT r1 item 1 done-criterion)."""
+    from focused_attention_vit_tpu.train.loop import train_and_evaluate
+
+    mesh, model, params, *_ = _setup(tp=1)
+    rng = np.random.default_rng(1)
+    data = {
+        "train_images": rng.integers(0, 255, size=(64, 16, 16, 3)).astype(
+            np.uint8
+        ),
+        "train_labels": rng.integers(0, 5, size=(64,)).astype(np.int32),
+        "test_images": rng.integers(0, 255, size=(32, 16, 16, 3)).astype(
+            np.uint8
+        ),
+        "test_labels": rng.integers(0, 5, size=(32,)).astype(np.int32),
+        "num_classes": 5,
+    }
+
+    def run(mesh_arg):
+        state = _fresh_state(model, params)
+        if mesh_arg is not None:
+            state = shard_state(state, mesh_arg)
+        return train_and_evaluate(
+            state,
+            make_train_step(16, mesh=mesh_arg),
+            make_eval_step(16, mesh=mesh_arg),
+            data,
+            epochs=2,
+            batch_size=16,
+            seed=7,
+            log_fn=lambda s: None,
+        )
+
+    r_single = run(None)
+    r_mesh = run(mesh)
+    np.testing.assert_allclose(
+        r_single["train_losses"], r_mesh["train_losses"], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        r_single["val_losses"], r_mesh["val_losses"], rtol=1e-4
+    )

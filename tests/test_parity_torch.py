@@ -59,7 +59,9 @@ class TestVisionTransformerParity:
             expect = tm(torch.from_numpy(nchw)).numpy()
 
         jm = fmodels.VisionTransformer(**TINY)
-        params = reference_vit_to_flax(tm.state_dict(), TINY["depth"])
+        params = reference_vit_to_flax(
+            tm.state_dict(), TINY["depth"], num_heads=TINY["num_heads"]
+        )
         got = np.asarray(jm.apply({"params": params}, jnp.asarray(nhwc)))
         np.testing.assert_allclose(got, expect, atol=ATOL)
 
@@ -73,7 +75,9 @@ class TestVisionTransformerParity:
             expect = tm.forward_features(torch.from_numpy(nchw)).numpy()
 
         jm = fmodels.VisionTransformer(**TINY)
-        params = reference_vit_to_flax(tm.state_dict(), TINY["depth"])
+        params = reference_vit_to_flax(
+            tm.state_dict(), TINY["depth"], num_heads=TINY["num_heads"]
+        )
         got = np.asarray(
             jm.apply(
                 {"params": params}, jnp.asarray(nhwc), method="forward_features"
@@ -108,10 +112,19 @@ class TestMHLAParity:
                 "bias": sd[f"{p}.bias"].numpy(),
             }
 
+        hd = d // h
         params = {
-            "qkv": lin("qkv"),
+            # Head-shaped projections (kernel [D,3,h,d] / [h,d,D] —
+            # models/layers.py).
+            "qkv": {
+                "kernel": sd["qkv.weight"].numpy().T.reshape(d, 3, h, hd),
+                "bias": sd["qkv.bias"].numpy().reshape(3, h, hd),
+            },
             "latent_proj": lin("latent_proj"),
-            "proj": lin("proj"),
+            "proj": {
+                "kernel": sd["proj.weight"].numpy().T.reshape(h, hd, d),
+                "bias": sd["proj.bias"].numpy(),
+            },
         }
         got = np.asarray(jm.apply({"params": params}, jnp.asarray(x)))
         np.testing.assert_allclose(got, expect, atol=ATOL)
@@ -132,7 +145,7 @@ class TestMHLAParity:
 
         jm = fmodels.VisionTransformerMHLA(**cfg, use_mhla=use_mhla)
         params = reference_vit_mhla_to_flax(
-            tm.state_dict(), cfg["depth"], use_mhla
+            tm.state_dict(), cfg["depth"], use_mhla, num_heads=cfg["num_heads"]
         )
         got = np.asarray(jm.apply({"params": params}, jnp.asarray(nhwc)))
         np.testing.assert_allclose(got, expect, atol=ATOL)
