@@ -36,10 +36,17 @@ import numpy as np
 
 
 def _np(t: Any) -> np.ndarray:
-    """torch tensor / array-like → numpy (no torch import required)."""
+    """torch tensor / array-like → numpy (no torch import required).
+
+    Half-precision checkpoints (e.g. the fp16 fixture
+    tools/make_pretrained_fixture.py writes) are upcast to f32 — params
+    are kept in f32 throughout this framework."""
     if hasattr(t, "detach"):
         t = t.detach().cpu().numpy()
-    return np.asarray(t)
+    t = np.asarray(t)
+    if t.dtype in (np.float16, np.float64):
+        t = t.astype(np.float32)
+    return t
 
 
 def _linear(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:

@@ -40,14 +40,16 @@ import numpy as np
 
 
 def _gaussian_kernel1d(sigma: float) -> np.ndarray:
-    radius = max(1, int(round(3.0 * sigma)))
+    # scipy.ndimage.gaussian_filter truncates at 4σ — match it so the
+    # pre-smoothing is numerically the oracle's (tools/slic_numpy.py).
+    radius = max(1, int(4.0 * sigma + 0.5))
     x = np.arange(-radius, radius + 1, dtype=np.float64)
     k = np.exp(-0.5 * (x / sigma) ** 2)
     return (k / k.sum()).astype(np.float32)
 
 
 def gaussian_blur(image: jnp.ndarray, sigma: float) -> jnp.ndarray:
-    """Separable Gaussian blur on ``[H, W, C]`` (reflect-ish edge via clamp)."""
+    """Separable Gaussian blur on ``[H, W, C]`` (scipy 'reflect' edges)."""
     if sigma <= 0:
         return image
     k = jnp.asarray(_gaussian_kernel1d(sigma))
@@ -56,7 +58,9 @@ def gaussian_blur(image: jnp.ndarray, sigma: float) -> jnp.ndarray:
     def conv_axis(x, axis):
         pad = [(0, 0)] * x.ndim
         pad[axis] = (r, r)
-        xp = jnp.pad(x, pad, mode="edge")
+        # scipy's default mode 'reflect' duplicates the edge sample
+        # (a b c → b a | a b c | c b), i.e. jnp.pad mode='symmetric'.
+        xp = jnp.pad(x, pad, mode="symmetric")
         # Sliding windows via stacked shifts (kernel is tiny: ~7 taps).
         out = jnp.zeros_like(x)
         for t in range(k.shape[0]):
@@ -85,12 +89,15 @@ def _grid_seeds(h: int, w: int, num_segments: int) -> np.ndarray:
     return seeds[:num_segments].astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("num_segments", "n_iter"))
+@partial(
+    jax.jit, static_argnames=("num_segments", "n_iter", "enforce_connectivity")
+)
 def _slic_single(
     image: jnp.ndarray,
     num_segments: int,
     compactness: float,
     n_iter: int,
+    enforce_connectivity: bool = True,
 ) -> jnp.ndarray:
     h, w, c = image.shape
     img = image.astype(jnp.float32)
@@ -108,6 +115,11 @@ def _slic_single(
     # Grid interval S and the SLIC spatial weight (m/S)².
     interval = float(np.sqrt(h * w / num_segments))
     spatial_w = (compactness / interval) ** 2
+    # skimage's assignment only searches a ±2S window around each centroid
+    # (_slic.pyx: y in [int(cy - 2·step), int(cy + 2·step)]). Emulated here
+    # by masking the dense [P, R] distance matrix — same assignment, but a
+    # TPU-friendly regular computation instead of irregular gathers.
+    step_px = float(max(1, int(round(interval))))
 
     seeds = jnp.asarray(_grid_seeds(h, w, num_segments))  # [R, 2] (y, x)
     seed_yx = seeds
@@ -117,9 +129,8 @@ def _slic_single(
     c_color = img[sy, sx, :]  # [R, C]
     c_pos = seed_yx  # [R, 2]
 
-    def step(_, carry):
-        c_color, c_pos = carry
-        # [P, R] squared distances.
+    def distances(c_color, c_pos):
+        """Masked [P, R] SLIC distances + the unmasked fallback."""
         d_color = (
             jnp.sum(feats**2, -1, keepdims=True)
             - 2.0 * feats @ c_color.T
@@ -128,8 +139,32 @@ def _slic_single(
         dy = ygrid[:, None] - c_pos[None, :, 0]
         dx = xgrid[:, None] - c_pos[None, :, 1]
         d = d_color + spatial_w * (dy * dy + dx * dx)
-        labels = jnp.argmin(d, axis=-1)  # [P]
+        # int() truncation bounds, as in skimage's window arithmetic.
+        lo_y = jnp.trunc(c_pos[None, :, 0] - 2.0 * step_px)
+        hi_y = jnp.trunc(c_pos[None, :, 0] + 2.0 * step_px)
+        lo_x = jnp.trunc(c_pos[None, :, 1] - 2.0 * step_px)
+        hi_x = jnp.trunc(c_pos[None, :, 1] + 2.0 * step_px)
+        in_win = (
+            (ygrid[:, None] >= lo_y)
+            & (ygrid[:, None] <= hi_y)
+            & (xgrid[:, None] >= lo_x)
+            & (xgrid[:, None] <= hi_x)
+        )
+        return jnp.where(in_win, d, jnp.inf), d
 
+    def assign(c_color, c_pos):
+        d_masked, d_full = distances(c_color, c_pos)
+        # Pixels covered by no window (possible once centroids drift) fall
+        # back to the nearest centroid unrestricted, as skimage guarantees
+        # every pixel ends up labelled.
+        covered = jnp.isfinite(jnp.min(d_masked, axis=-1))
+        return jnp.where(
+            covered, jnp.argmin(d_masked, axis=-1), jnp.argmin(d_full, axis=-1)
+        )
+
+    def step(_, carry):
+        c_color, c_pos = carry
+        labels = assign(c_color, c_pos)  # [P]
         onehot = jax.nn.one_hot(labels, num_segments, dtype=jnp.float32)
         counts = jnp.maximum(onehot.sum(0), 1.0)  # [R]
         new_color = (onehot.T @ feats) / counts[:, None]
@@ -137,18 +172,159 @@ def _slic_single(
         new_x = (onehot.T @ xgrid) / counts
         return new_color, jnp.stack([new_y, new_x], axis=-1)
 
-    c_color, c_pos = jax.lax.fori_loop(0, n_iter, step, (c_color, c_pos))
-
-    # Final assignment.
-    d_color = (
-        jnp.sum(feats**2, -1, keepdims=True)
-        - 2.0 * feats @ c_color.T
-        + jnp.sum(c_color**2, -1)[None, :]
+    # skimage runs `assign → update` n_iter times and keeps the labels of the
+    # *last assignment* — i.e. the final labels see n_iter-1 centroid
+    # updates, not n_iter (segmentation/_slic.pyx main loop).
+    c_color, c_pos = jax.lax.fori_loop(
+        0, max(0, n_iter - 1), step, (c_color, c_pos)
     )
-    dy = ygrid[:, None] - c_pos[None, :, 0]
-    dx = xgrid[:, None] - c_pos[None, :, 1]
-    labels = jnp.argmin(d_color + spatial_w * (dy * dy + dx * dx), axis=-1)
-    return labels.reshape(h, w).astype(jnp.int32)
+    labels = assign(c_color, c_pos)
+    labels = labels.reshape(h, w).astype(jnp.int32)
+    if enforce_connectivity:
+        labels = _enforce_connectivity(labels, num_segments)
+    return labels
+
+
+def _seg_min_scan(comp: jnp.ndarray, seg: jnp.ndarray, axis: int, reverse: bool):
+    """Min-propagate component ids along ``axis`` within runs of equal
+    ``seg`` label (a segmented min-scan — one associative_scan, log-depth)."""
+
+    def op(a, b):
+        s1, v1 = a
+        s2, v2 = b
+        return s1 & s2, jnp.where(s2, jnp.minimum(v1, v2), v2)
+
+    if reverse:
+        comp = jnp.flip(comp, axis)
+        seg = jnp.flip(seg, axis)
+    same = seg == jnp.roll(seg, 1, axis=axis)
+    idx = jnp.arange(seg.shape[axis])
+    first = jnp.expand_dims(idx == 0, axis=1 - axis)
+    same = same & ~first  # run starts fresh at index 0
+    _, v = jax.lax.associative_scan(op, (same, comp), axis=axis)
+    if reverse:
+        v = jnp.flip(v, axis)
+    return v
+
+
+def _connected_components(seg: jnp.ndarray) -> jnp.ndarray:
+    """4-connected components of an int label map.
+
+    Returns [H, W] int32 component ids = min flat pixel index in the
+    component (so ids order by scan-order discovery, like skimage's BFS).
+    Fixpoint of alternating row/column segmented min-scans — each sweep is
+    4 log-depth scans, so convergence needs one sweep per "bend" of the
+    most serpentine component instead of one shift per pixel of its
+    diameter.
+    """
+    h, w = seg.shape
+    init = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+
+    def sweep(comp):
+        comp = _seg_min_scan(comp, seg, axis=1, reverse=False)
+        comp = _seg_min_scan(comp, seg, axis=1, reverse=True)
+        comp = _seg_min_scan(comp, seg, axis=0, reverse=False)
+        comp = _seg_min_scan(comp, seg, axis=0, reverse=True)
+        return comp
+
+    def cond(carry):
+        _, changed = carry
+        return changed
+
+    def body(carry):
+        comp, _ = carry
+        new = sweep(comp)
+        return new, jnp.any(new != comp)
+
+    comp, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))
+    return comp
+
+
+def _adjacent_component(comp: jnp.ndarray, big: int) -> jnp.ndarray:
+    """Per-component min id of any 4-adjacent different component ([P])."""
+    h, w = comp.shape
+
+    def shifted(dy, dx):
+        out = jnp.full((h, w), big, jnp.int32)
+        src = comp[
+            max(0, -dy) : h - max(0, dy), max(0, -dx) : w - max(0, dx)
+        ]
+        return out.at[
+            max(0, dy) : h - max(0, -dy), max(0, dx) : w - max(0, -dx)
+        ].set(src)
+
+    cand = jnp.full((h, w), big, jnp.int32)
+    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        nb = shifted(dy, dx)
+        cand = jnp.minimum(cand, jnp.where(nb != comp, nb, big))
+    return jax.ops.segment_min(
+        cand.reshape(-1), comp.reshape(-1), num_segments=big
+    )
+
+
+def _enforce_connectivity(
+    seg: jnp.ndarray, num_segments: int, min_size_factor: float = 0.5
+) -> jnp.ndarray:
+    """skimage-style connectivity enforcement, on device, static shapes.
+
+    skimage relabels 4-connected components sequentially and merges
+    components smaller than ``min_size_factor · (H·W/R)`` into an adjacent
+    one (segmentation/_slic.pyx semantics; the reference relies on it via
+    skimage defaults, /root/reference/models/sppp.py:64-65). The output must
+    stay in ``[0, num_segments)`` for the static-shape SPPP pipeline, so
+    when more than R components survive merging, the smallest are merged
+    into a neighbour until exactly ≤ R remain, then ids are densely ranked
+    in scan order (skimage's label order).
+    """
+    h, w = seg.shape
+    p = h * w
+    big = p
+    min_size = int(round(min_size_factor * (h * w / num_segments)))
+
+    comp = _connected_components(seg)
+
+    def sizes_of(comp):
+        return (
+            jnp.zeros(p, jnp.int32).at[comp.reshape(-1)].add(1, mode="drop")
+        )
+
+    # Merge-small passes (parallel analogue of skimage's cascading scan-order
+    # merges; pointer-jumping inside each pass resolves chains).
+    def merge_pass(_, comp):
+        sizes = sizes_of(comp)
+        adj = _adjacent_component(comp, big)
+        ids = jnp.arange(p, dtype=jnp.int32)
+        small = (sizes > 0) & (sizes < min_size) & (adj < big)
+        mapping = jnp.where(small, adj.astype(jnp.int32), ids)
+        mapping = mapping[mapping]
+        mapping = mapping[mapping]
+        return mapping[comp]
+
+    comp = jax.lax.fori_loop(0, 4, merge_pass, comp)
+
+    # Reduce to ≤ R components (rarely triggered: only when > R survive).
+    def count_of(comp):
+        rep = jnp.zeros(p, jnp.int32).at[comp.reshape(-1)].set(1, mode="drop")
+        return rep.sum()
+
+    def reduce_cond(comp):
+        return count_of(comp) > num_segments
+
+    def reduce_body(comp):
+        sizes = sizes_of(comp)
+        adj = _adjacent_component(comp, big)
+        cost = jnp.where((sizes > 0) & (adj < big), sizes, big)
+        c = jnp.argmin(cost).astype(jnp.int32)
+        ids = jnp.arange(p, dtype=jnp.int32)
+        mapping = jnp.where(ids == c, adj[c].astype(jnp.int32), ids)
+        return mapping[comp]
+
+    comp = jax.lax.while_loop(reduce_cond, reduce_body, comp)
+
+    # Dense ranks in scan order (component id = min flat index).
+    rep = jnp.zeros(p, jnp.int32).at[comp.reshape(-1)].set(1, mode="drop")
+    rank = jnp.cumsum(rep) - 1
+    return jnp.minimum(rank[comp], num_segments - 1).astype(jnp.int32)
 
 
 def slic_segment(
@@ -157,6 +333,7 @@ def slic_segment(
     compactness: float = 0.1,
     sigma: float = 1.0,
     n_iter: int = 10,
+    enforce_connectivity: bool = True,
 ) -> jnp.ndarray:
     """SLIC-style superpixel segmentation, fully on device.
 
@@ -168,6 +345,8 @@ def slic_segment(
         models/sppp.py:31).
       sigma: Gaussian pre-smoothing width (reference passes 1.0).
       n_iter: fixed k-means iteration count.
+      enforce_connectivity: skimage-style component relabel + small-segment
+        merging (skimage default True, which the reference inherits).
 
     Returns:
       int32 segment map ``[B, H, W]`` (or ``[H, W]``), labels in [0, R).
@@ -178,7 +357,9 @@ def slic_segment(
 
     def per_image(im):
         im = gaussian_blur(im, sigma)
-        return _slic_single(im, num_segments, compactness, n_iter)
+        return _slic_single(
+            im, num_segments, compactness, n_iter, enforce_connectivity
+        )
 
     out = jax.vmap(per_image)(images)
     return out[0] if single else out

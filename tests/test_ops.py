@@ -1,9 +1,25 @@
 """Unit tests for the functional ops against reference semantics."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+
+
+def _dominant_np(labels, p):
+    """Patch-dominant label, numpy oracle (mode, smallest-id tie-break)."""
+    h, w = labels.shape
+    gh, gw = h // p, w // p
+    tiles = (
+        labels.reshape(gh, p, gw, p).transpose(0, 2, 1, 3).reshape(gh * gw, p * p)
+    )
+    out = []
+    for row in tiles:
+        vals, cnts = np.unique(row, return_counts=True)
+        out.append(vals[np.argmax(cnts)])
+    return np.asarray(out)
 
 from focused_attention_vit_tpu.ops import (
     extract_patches,
@@ -366,3 +382,101 @@ class TestSLIC:
         left = set(np.unique(seg[:, :14]).tolist())
         right = set(np.unique(seg[:, 18:]).tolist())
         assert left.isdisjoint(right)
+
+    def test_connectivity_merges_fragments(self):
+        """A tiny isolated fragment of a far-away label must be absorbed by
+        a surrounding segment when enforce_connectivity=True (skimage
+        min_size merging; reference inherits it via skimage defaults)."""
+        img = np.full((32, 32, 3), 0.5, dtype=np.float32)
+        img[:16] = 0.0
+        img[16:] = 1.0
+        img[2:4, 2:4] = 1.0  # 2×2 bright speck inside the dark half
+        seg = np.asarray(
+            slic_segment(
+                jnp.asarray(img), num_segments=4, compactness=0.01, sigma=0.0
+            )
+        )
+        speck = np.unique(seg[2:4, 2:4])
+        assert len(speck) == 1
+        # merged into a label used by its (dark) surroundings
+        assert speck[0] in np.unique(seg[:8, :8][~np.isin(
+            np.arange(64).reshape(8, 8), [18, 19, 26, 27])])
+
+    def test_connected_components_exact(self, rng):
+        """Device CC labeling ≡ scipy.ndimage.label partitions."""
+        from scipy import ndimage as ndi
+        from focused_attention_vit_tpu.ops.slic import _connected_components
+
+        seg = rng.integers(0, 3, size=(24, 24)).astype(np.int32)
+        comp = np.asarray(_connected_components(jnp.asarray(seg)))
+        # partition equality against per-label scipy components
+        expect = np.zeros_like(seg)
+        nxt = 1
+        for lab in np.unique(seg):
+            cc, n = ndi.label(seg == lab)
+            for k in range(1, n + 1):
+                expect[cc == k] = nxt
+                nxt += 1
+        # same-partition check: bijection between ids
+        pairs = set(zip(comp.ravel().tolist(), expect.ravel().tolist()))
+        assert len(pairs) == len(set(p[0] for p in pairs))
+        assert len(pairs) == len(set(p[1] for p in pairs))
+
+    def test_golden_skimage_agreement(self):
+        """Fidelity vs the slow skimage-faithful numpy oracle
+        (tools/slic_numpy.py) on committed CIFAR-shaped fixtures
+        (tests/fixtures/slic_golden.npz, tools/make_slic_golden.py).
+
+        Two pinned levels:
+        1. the k-means core (pre-connectivity) is *bit-exact* vs the
+           oracle's neighbourhood-limited search;
+        2. end-to-end (with on-device connectivity enforcement) the
+           dominant-superpixel-per-patch assignment — the only SLIC product
+           SPPP consumes (reference models/sppp.py:117-126) — agrees with
+           full-skimage golden labels at ≥72% mean / ≥60% min under optimal
+           (Hungarian) label matching. Measured r2: 78.3% mean, 65.6% min;
+           residual is skimage's BFS-order-dependent merge-target choice,
+           which has no deterministic parallel analogue (the oracle's own
+           agreement with itself under a one-iteration perturbation is 93%
+           mean / 84% min).
+        """
+        from scipy.optimize import linear_sum_assignment
+        from tools.slic_numpy import slic_numpy
+
+        fix = np.load(
+            os.path.join(os.path.dirname(__file__), "fixtures", "slic_golden.npz")
+        )
+        images, golden = fix["images"], fix["golden_labels"]
+        R = int(fix["n_segments"])
+        m, sig = float(fix["compactness"]), float(fix["sigma"])
+
+        # 1. bit-exact core
+        ours_nc = np.asarray(
+            slic_segment(
+                jnp.asarray(images), num_segments=R, compactness=m,
+                sigma=sig, enforce_connectivity=False,
+            )
+        )
+        for i in range(len(images)):
+            oracle_nc = slic_numpy(
+                images[i], n_segments=R, compactness=m, sigma=sig,
+                enforce_connectivity=False,
+            )
+            assert (oracle_nc == ours_nc[i]).all(), f"core mismatch, img {i}"
+
+        # 2. end-to-end patch-dominant agreement
+        ours = np.asarray(
+            slic_segment(
+                jnp.asarray(images), num_segments=R, compactness=m, sigma=sig
+            )
+        )
+        scores = []
+        for i in range(len(images)):
+            g = _dominant_np(golden[i], 4)
+            o = np.asarray(dominant_superpixel_per_patch(ours[i], 4, R))
+            cont = np.zeros((g.max() + 1, R))
+            np.add.at(cont, (g, o), 1)
+            ri, ci = linear_sum_assignment(-cont)
+            scores.append(cont[ri, ci].sum() / g.size)
+        assert np.mean(scores) >= 0.72, scores
+        assert np.min(scores) >= 0.60, scores

@@ -1,0 +1,59 @@
+"""Opt-in real-CIFAR-10 smoke test (VERDICT round-1 item 10).
+
+Skipped while only synthetic data exists; the day real CIFAR-10 binaries
+land under ``FAVIT_DATA_DIR`` (default ./data — the standard
+``cifar-10-python.tar.gz`` / ``cifar-10-batches-py`` torchvision cache
+layout), this trains a small ViT for 2 epochs and requires >40% val
+accuracy, making the BASELINE "accuracy parity" target empirically
+checkable instead of aspirational (reference training loop:
+/root/reference/utils/data_utils.py:83-156 +
+experiments/traditional.py:187-200).
+"""
+
+import os
+
+import pytest
+
+DATA_DIR = os.environ.get("FAVIT_DATA_DIR", "./data")
+
+
+def _real_cifar10_present() -> bool:
+    return os.path.isdir(
+        os.path.join(DATA_DIR, "cifar-10-batches-py")
+    ) or os.path.exists(os.path.join(DATA_DIR, "cifar-10-python.tar.gz"))
+
+
+@pytest.mark.skipif(
+    not _real_cifar10_present(),
+    reason=f"real CIFAR-10 not present under {DATA_DIR}",
+)
+def test_real_cifar10_two_epoch_accuracy():
+    from focused_attention_vit_tpu.data.datasets import load_dataset
+    from focused_attention_vit_tpu.experiments.traditional import (
+        TraditionalViTExperiment,
+    )
+
+    data = load_dataset("cifar10", data_dir=DATA_DIR, subset_size=64)
+    assert not data["synthetic"], "loader fell back to synthetic despite data"
+
+    exp = TraditionalViTExperiment(
+        img_size=32,
+        patch_size=4,
+        num_classes=10,
+        embed_dim=192,
+        depth=6,
+        num_heads=3,
+        dropout=0.1,
+        batch_size=128,
+        learning_rate=3e-4,
+        epochs=2,
+        subset_size=10_000,
+        data_dir=DATA_DIR,
+        results_dir="/tmp/favit_real_smoke",
+        detailed_metrics=False,
+    )
+    exp.setup()
+    exp.train()
+    exp.evaluate()
+    val_acc = exp.metrics["evaluation"]["test_acc"]
+    assert val_acc > 0.40, f"2-epoch val accuracy {val_acc:.3f} <= 0.40"
