@@ -2,13 +2,15 @@
 """Headline benchmark — prints ONE JSON line.
 
 Metric: images/sec/chip, fwd+bwd+AdamW update (the training hot loop) on
-the flagship config — ViT-B/16 @ 224², CIFAR-10 head, bf16 compute — on
-one TPU chip. ``vs_baseline`` compares against the torch-CPU reference
-implementation measured on this machine (see BASELINE.md "Measured
-reference numbers"): 0.516 img/s fwd+bwd.
+the flagship config — ViT-B/16 @ 224², CIFAR-10 head, bf16 compute,
+microbatch-16 gradient accumulation (identical batch-128 math; see
+BASELINE.md "v5e roofline") — on one TPU chip. ``vs_baseline`` compares
+against the torch-CPU reference implementation measured on this machine
+(see BASELINE.md "Measured reference numbers"): 0.516 img/s fwd+bwd.
 
-Extra fields report the MHLA flagship variant and eval throughput; the
-driver's contract only requires metric/value/unit/vs_baseline.
+``extra.mfu`` is model-FLOPs utilization under the standard convention
+(PaLM appendix B): 2 FLOPs per MAC, backward = 2× forward, against the
+v5e nameplate 197 TFLOP/s bf16.
 """
 
 import json
@@ -22,12 +24,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 TORCH_CPU_VIT_B16_FWD_BWD = 0.516
 TORCH_CPU_MHLA_B16_FWD_BWD = 0.201
 
+V5E_PEAK_BF16_TFLOPS = 197.0
+MICROBATCH = int(os.environ.get("BENCH_MICROBATCH", "16"))
+EVAL_CHUNK = int(os.environ.get("BENCH_EVAL_CHUNK", "64"))
 
-def bench_train(model, batch, img_size, steps=20, warmup=3, num_classes=10):
+
+def vit_matmul_flops_per_image(img_size, patch_size, embed_dim, depth,
+                               num_heads, mlp_ratio=4.0, num_classes=10):
+    """Forward matmul FLOPs per image (2 FLOPs/MAC)."""
+    s = (img_size // patch_size) ** 2 + 1
+    d = embed_dim
+    per_block = 2 * s * d * d * (3 + 1 + 2 * mlp_ratio)  # qkv+proj+mlp
+    attn = 2 * 2 * s * s * d  # q·kᵀ and p·v
+    patch = 2 * s * (patch_size * patch_size * 3) * d
+    head = 2 * d * num_classes
+    return depth * (per_block + attn) + patch + head
+
+
+def bench_train(model, batch, img_size, steps=20, warmup=3, num_classes=10,
+                microbatch=MICROBATCH):
     import jax
     import jax.numpy as jnp
     import numpy as np
-    import optax
 
     from focused_attention_vit_tpu.train.state import TrainState, make_adamw
     from focused_attention_vit_tpu.train.steps import make_train_step
@@ -43,13 +61,17 @@ def bench_train(model, batch, img_size, steps=20, warmup=3, num_classes=10):
     state = TrainState.create(
         apply_fn=model.apply, params=params, tx=make_adamw(1e-4)
     )
-    step = make_train_step(img_size, compute_dtype=jnp.bfloat16)
+    mb = (
+        microbatch
+        if (microbatch and batch > microbatch and batch % microbatch == 0)
+        else None
+    )
+    step = make_train_step(img_size, compute_dtype=jnp.bfloat16, microbatch=mb)
 
     key = jax.random.PRNGKey(0)
     for i in range(warmup):
         state, m = step(state, x_u8, y, jax.random.fold_in(key, i))
     float(m["loss_sum"])  # host transfer = unconditional sync
-
     t0 = time.time()
     for i in range(steps):
         state, m = step(state, x_u8, y, jax.random.fold_in(key, 100 + i))
@@ -58,11 +80,13 @@ def bench_train(model, batch, img_size, steps=20, warmup=3, num_classes=10):
     return batch * steps / dt
 
 
-def bench_eval_latency(model, batch, img_size, iters=30, num_classes=10):
+def bench_eval_latency(model, batch, img_size, iters=30, chunk=None):
     """Per-batch eval latency (p50), sync-correct per call."""
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    from focused_attention_vit_tpu.data.pipeline import prepare_eval_batch
 
     rng = np.random.default_rng(0)
     x_u8 = jnp.asarray(
@@ -71,11 +95,29 @@ def bench_eval_latency(model, batch, img_size, iters=30, num_classes=10):
     sample = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), sample)["params"]
 
-    from focused_attention_vit_tpu.data.pipeline import prepare_eval_batch
+    if chunk and batch > chunk and batch % chunk == 0:
+        n = batch // chunk
 
-    @jax.jit
-    def fwd(params, x_u8):
-        return model.apply({"params": params}, prepare_eval_batch(x_u8, img_size))
+        @jax.jit
+        def fwd(params, x_u8):
+            xs = x_u8.reshape((n, chunk) + x_u8.shape[1:])
+
+            def f(_, xc):
+                return None, model.apply(
+                    {"params": params},
+                    prepare_eval_batch(xc, img_size, dtype=jnp.bfloat16),
+                )
+
+            _, outs = jax.lax.scan(f, None, xs)
+            return outs.reshape(batch, -1)
+    else:
+
+        @jax.jit
+        def fwd(params, x_u8):
+            return model.apply(
+                {"params": params},
+                prepare_eval_batch(x_u8, img_size, dtype=jnp.bfloat16),
+            )
 
     out = fwd(params, x_u8)
     float(out.ravel()[0].astype(jnp.float32))
@@ -94,6 +136,7 @@ def main():
     _configure()
 
     from focused_attention_vit_tpu.models import (
+        SPPPViT,
         VisionTransformer,
         VisionTransformerMHLA,
     )
@@ -111,14 +154,18 @@ def main():
     )
     batch = int(os.environ.get("BENCH_BATCH", "128"))
 
-    from focused_attention_vit_tpu.models import SPPPViT
-
     vit = VisionTransformer(**common)
     vit_ips = bench_train(vit, batch, 224)
+    flops_img = vit_matmul_flops_per_image(224, 16, 768, 12, 12)
+    mfu = vit_ips * 3.0 * flops_img / (V5E_PEAK_BF16_TFLOPS * 1e12)
+
+    # Microbatch chunking only wins for the dense-attention ViT (S² working
+    # set); windowed-MHLA and SPPP run monolithic (see BASELINE.md roofline).
     mhla_ips = bench_train(
         VisionTransformerMHLA(**common, window_size=7, use_mhla=True),
         batch,
         224,
+        microbatch=0,
     )
     # SPPP at its reference defaults (patch 4, R=16 → 17 tokens): the cost
     # is SLIC + patch embed + pooling, with tiny attention.
@@ -130,8 +177,11 @@ def main():
         ),
         batch,
         224,
+        microbatch=0,
     )
-    eval_p50 = bench_eval_latency(vit, batch, 224)
+    eval_p50 = bench_eval_latency(vit, batch, 224, chunk=EVAL_CHUNK)
+    eval_p50_b8 = bench_eval_latency(vit, 8, 224)
+    eval_p50_b1 = bench_eval_latency(vit, 1, 224)
 
     result = {
         "metric": "vit_b16_images_per_sec_per_chip_fwd_bwd",
@@ -139,12 +189,17 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(vit_ips / TORCH_CPU_VIT_B16_FWD_BWD, 1),
         "extra": {
+            "mfu": round(mfu, 4),
+            "mfu_note": "3x fwd matmul FLOPs (2/MAC) vs 197 TF/s nameplate",
             "mhla_b16_images_per_sec_fwd_bwd": round(mhla_ips, 2),
             "mhla_vs_torch_cpu": round(mhla_ips / TORCH_CPU_MHLA_B16_FWD_BWD, 1),
             "sppp_p4_r16_images_per_sec_fwd_bwd": round(sppp_ips, 2),
             "eval_batch_latency_p50_ms": round(eval_p50 * 1000, 2),
+            "eval_latency_p50_ms_b8": round(eval_p50_b8 * 1000, 2),
+            "eval_latency_p50_ms_b1": round(eval_p50_b1 * 1000, 2),
             "eval_images_per_sec": round(batch / eval_p50, 1),
             "batch": batch,
+            "microbatch": MICROBATCH,
             "compute_dtype": "bfloat16",
         },
     }

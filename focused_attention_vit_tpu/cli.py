@@ -96,6 +96,11 @@ def parse_args(argv=None):
                         help="Tensor-parallel ('model') axis size; must "
                              "divide --num_devices. Shards MLP hidden dim "
                              "and attention heads Megatron-style")
+    parser.add_argument("--microbatch", type=int, default=None,
+                        help="Gradient-accumulation chunk inside the jitted "
+                             "train step (identical batch math; smaller "
+                             "live activation set). Default: auto (16 on a "
+                             "single device); 0 disables")
 
     return parser.parse_args(argv)
 
@@ -130,6 +135,7 @@ def _common_kwargs(args):
         remat=args.remat,
         num_devices=args.num_devices,
         tp=args.tp,
+        microbatch=args.microbatch,
     )
 
 

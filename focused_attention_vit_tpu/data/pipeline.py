@@ -80,10 +80,16 @@ def augment_train_batch(
     # Per-image random crop offsets in [0, 2p].
     offs = jax.random.randint(k_crop, (b, 2), 0, 2 * p + 1)
 
-    def crop_one(img, off):
-        return jax.lax.dynamic_slice(img, (off[0], off[1], 0), (h, w, c))
-
-    x = jax.vmap(crop_one)(xp, offs)
+    # Per-image crop as two one-hot selection matmuls. A vmap'd
+    # dynamic_slice lowers to a serial per-image `while` loop on TPU
+    # (measured ~4 ms/step at batch 128); the one-hot einsum is a tiny
+    # batched MXU contraction instead and fuses with the resize.
+    iy = offs[:, 0:1] + jnp.arange(h)[None, :]  # [B, h]
+    ix = offs[:, 1:2] + jnp.arange(w)[None, :]  # [B, w]
+    sel_y = jax.nn.one_hot(iy, h + 2 * p, dtype=dtype)  # [B, h, h+2p]
+    sel_x = jax.nn.one_hot(ix, w + 2 * p, dtype=dtype)  # [B, w, w+2p]
+    x = jnp.einsum("bih,bhwc->biwc", sel_y, xp)
+    x = jnp.einsum("bjw,biwc->bijc", sel_x, x)
 
     # Per-image horizontal flip with p=0.5.
     flip = jax.random.bernoulli(k_flip, 0.5, (b,))

@@ -30,6 +30,9 @@ class CrossAttentionExperiment(PretrainedMixin, ExperimentBase):
     pooling_type: str = "mean"
     use_pretrained: bool = False
     use_multi_head: bool = False
+    # Cross-attention models mix SPPP/dense paths; auto-chunking is only a
+    # measured win for the plain dense-ViT geometry, so keep it off.
+    auto_microbatch: "int | None" = None
 
     @property
     def experiment_type(self) -> str:
@@ -202,6 +205,7 @@ def _args_to_kwargs(args) -> Dict[str, Any]:
         seed=args.seed,
         num_devices=getattr(args, "num_devices", None),
         tp=getattr(args, "tp", 1),
+        microbatch=getattr(args, "microbatch", None),
     )
 
 

@@ -81,10 +81,21 @@ class ExperimentBase:
     remat: bool = False  # gradient checkpointing for long-sequence configs
     num_devices: Optional[int] = None  # >1 (or -1 = all) trains on a mesh
     tp: int = 1  # 'model' (tensor-parallel) axis size of the mesh
+    # Gradient-accumulation chunk inside the jitted step. None = auto
+    # (16 on a single device — measured +66% ViT-B/16 throughput on v5e,
+    # see BASELINE.md roofline; off on a mesh where the per-device batch is
+    # already small). 0 disables.
+    microbatch: Optional[int] = None
 
     # --- subclass hooks -----------------------------------------------------
     model_display_name: str = "Traditional ViT"
     csv_filename: str = "exp1_traditional.csv"
+    # Auto microbatch (used when --microbatch is not given): measured on
+    # v5e, 16 lifts dense-attention ViT-B/16 training +66% (the batch-128
+    # S² working set degrades XLA's scheduling) but *hurts* windowed-MHLA
+    # and SPPP models (small working sets, chunking only shrinks matmuls) —
+    # those experiment classes override this to None.
+    auto_microbatch: Optional[int] = 16
 
     @property
     def jnp_dtype(self):
@@ -160,11 +171,28 @@ class ExperimentBase:
             self.state = shard_state(self.state, self.mesh)
 
         self.train_step = make_train_step(
-            self.img_size, compute_dtype=self.jnp_dtype, mesh=self.mesh
+            self.img_size,
+            compute_dtype=self.jnp_dtype,
+            mesh=self.mesh,
+            microbatch=self._effective_microbatch(),
         )
         self.eval_step = make_eval_step(
             self.img_size, compute_dtype=self.jnp_dtype, mesh=self.mesh
         )
+
+    def _effective_microbatch(self) -> Optional[int]:
+        mb = self.microbatch
+        if mb == 0:
+            return None
+        if mb is None:
+            # Auto: single-device only; a mesh already shrinks the
+            # per-device batch.
+            if self.mesh is not None:
+                return None
+            mb = self.auto_microbatch
+        if not mb:
+            return None
+        return mb if (self.batch_size > mb and self.batch_size % mb == 0) else None
 
     def _build_mesh(self):
         """Build the ('data','model') device mesh when multi-device training

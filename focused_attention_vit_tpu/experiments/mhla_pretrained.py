@@ -24,6 +24,7 @@ class PretrainedMHLAViTExperiment(PretrainedMixin, ExperimentBase):
     window_size: int = 7
     model_display_name: str = "Pretrained ViT + MHLA"
     csv_filename: str = "exp4_pretrained_mhla.csv"
+    auto_microbatch: "int | None" = None  # windowed-MHLA/SPPP: chunking hurts (see base)
 
     def build_model(self):
         return VisionTransformerMHLA(

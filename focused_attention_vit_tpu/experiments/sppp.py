@@ -24,6 +24,7 @@ class SPPPExperiment(ExperimentBase):
     batch_size: int = 124  # reference default (experiments/sppp.py:53)
     model_display_name: str = "SPPP ViT"
     csv_filename: str = "exp2_sppp.csv"
+    auto_microbatch: "int | None" = None  # windowed-MHLA/SPPP: chunking hurts (see base)
 
     def build_model(self):
         return SPPPViT(

@@ -29,6 +29,7 @@ class PretrainedSPPPMHLAExperiment(PretrainedMixin, SPPPExperiment):
     window_size: int = 7
     model_display_name: str = "Pretrained ViT + SPPP + MHLA"
     csv_filename: str = "exp5_pretrained_sppp_mhla.csv"
+    auto_microbatch: "int | None" = None  # windowed-MHLA/SPPP: chunking hurts (see base)
 
     def build_model(self):
         return SPPPViTMHLA(

@@ -23,6 +23,7 @@ from focused_attention_vit_tpu.models import SPPPViT
 class PretrainedSPPPExperiment(PretrainedMixin, SPPPExperiment):
     model_display_name: str = "Pretrained SPPP ViT"
     csv_filename: str = "exp3_pretrained_sppp.csv"
+    auto_microbatch: "int | None" = None  # windowed-MHLA/SPPP: chunking hurts (see base)
 
     def build_model(self):
         return SPPPViT(

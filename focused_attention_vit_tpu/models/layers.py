@@ -13,6 +13,7 @@ produce identical logits:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import jax
@@ -97,22 +98,53 @@ class MultiHeadAttention(nn.Module):
             name="qkv",
         )(x)
         q, k, v = attn_ops.qkv_split_heads(qkv)
+
+        seq_len = q.shape[-2]
+        from focused_attention_vit_tpu.ops.mha_kernel import (
+            fused_mha_supported,
+            fused_multi_head_attention,
+        )
+
+        # Opt-in: measured on v5e, XLA's batched dense attention beats the
+        # per-(b·h)-tile kernel at short S (its [S,d]·[d,S] matmuls are too
+        # small to keep the MXU busy) once training runs at microbatch ≤ 64;
+        # the kernel wins only for large single-shot batches (b128: 201 vs
+        # 214 ms/step). Kept for that regime and as the in-kernel-PRNG
+        # dropout reference.
+        use_fused = (
+            os.environ.get("FAVIT_FUSED_MHA", "0") == "1"
+            and self.use_flash is None  # explicit True/False: caller's choice
+            and jax.default_backend() == "tpu"
+            and fused_mha_supported(seq_len, head_dim)
+        )
         if self.dropout > 0.0 and not deterministic:
             # Train-mode attention-weight dropout (reference:
-            # models/vit.py:96-97). Materializes the score matrix, so it is
-            # only taken when actually requested; the flash path cannot
-            # apply weight dropout.
-            d = q.shape[-1]
-            logits = jnp.einsum(
-                "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32
-            ) * (d**-0.5)
-            weights = jax.nn.softmax(logits, axis=-1)
-            weights = nn.Dropout(self.dropout)(
-                weights, deterministic=deterministic
-            )
-            out = jnp.einsum(
-                "bhst,bhtd->bhsd", weights.astype(v.dtype), v
-            )
+            # models/vit.py:96-97).
+            if use_fused:
+                # Single-tile fused kernel: softmax + inverted dropout +
+                # P·V entirely in VMEM; the backward pass regenerates the
+                # mask from the seed, so no S² tensor or mask ever reaches
+                # HBM (ops/mha_kernel.py).
+                out = fused_multi_head_attention(
+                    q, k, v,
+                    dropout_rate=self.dropout,
+                    dropout_rng=self.make_rng("dropout"),
+                )
+            else:
+                # Materialized-score fallback (CPU tests, long sequences).
+                d = q.shape[-1]
+                logits = jnp.einsum(
+                    "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32
+                ) * (d**-0.5)
+                weights = jax.nn.softmax(logits, axis=-1)
+                weights = nn.Dropout(self.dropout)(
+                    weights, deterministic=deterministic
+                )
+                out = jnp.einsum(
+                    "bhst,bhtd->bhsd", weights.astype(v.dtype), v
+                )
+        elif use_fused:
+            out = fused_multi_head_attention(q, k, v)
         else:
             out = attn_ops.multi_head_attention(
                 q, k, v, use_flash=self.use_flash

@@ -195,11 +195,13 @@ def windowed_latent_attention(
         and os.environ.get("FAVIT_USE_PALLAS_MHLA", "0") == "1"
     )
     if use_pallas:
-        # Opt-in: the hand-written kernel is numerically identical but the
-        # band is VPU-relayout-bound and XLA's fusion of the shift
-        # formulation currently wins on v5e (42 vs 114 GB/s effective,
-        # measured at B·h=1536, S=3137, d=64, W=7, bf16). Kept for further
-        # kernel work and for hardware where the balance differs.
+        # Opt-in: four kernel generations are numerically identical but all
+        # lose to XLA's fused shift formulation on v5e (23.5 ms fwd at
+        # B·h=1536, S=3137, d=64, W=7, bf16): v1/v2 on Mosaic's
+        # sublane-shift relayouts, v3 on the 8-row DMA alignment rule, v4
+        # on per-tile DMA latency, v4b on the 41×-inflated dense-tile
+        # softmax. Full measured roofline: BASELINE.md "MHLA band roofline".
+        # Kept for hardware/toolchains where the balance differs.
         from focused_attention_vit_tpu.ops.mhla_kernel import (
             banded_attention_tpu,
         )

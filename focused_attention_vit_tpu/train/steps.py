@@ -36,6 +36,7 @@ def make_train_step(
     compute_dtype=jnp.float32,
     sharding_constraint: Optional[Callable] = None,
     mesh=None,
+    microbatch: Optional[int] = None,
 ) -> Callable:
     """Build the fused augment+fwd+bwd+update step.
 
@@ -49,6 +50,9 @@ def make_train_step(
     parallel.shard_state) — XLA inserts the gradient all-reduce over ICI.
     """
     if mesh is not None:
+        # Mesh training already shrinks the per-device batch; chunking a
+        # batch-sharded input would reshape across the sharded axis.
+        microbatch = None
         from jax.sharding import NamedSharding, PartitionSpec as _P
 
         batch_sh = NamedSharding(mesh, _P("data"))
@@ -65,8 +69,8 @@ def make_train_step(
     else:
         jit = partial(jax.jit, donate_argnums=(0,))
 
-    @jit
-    def train_step(state, images_u8, labels, key):
+    def fwd_bwd(params, apply_fn, images_u8, labels, key):
+        """One microbatch: augment + fwd + bwd → (grads, loss_sum, correct)."""
         if augment:
             images = augment_train_batch(
                 images_u8, key, img_size, mean=mean, std=std, dtype=compute_dtype
@@ -81,7 +85,7 @@ def make_train_step(
         dropout_key = jax.random.fold_in(key, 1)
 
         def loss_fn(params):
-            logits = state.apply_fn(
+            logits = apply_fn(
                 {"params": params},
                 images,
                 False,  # deterministic=False
@@ -93,12 +97,51 @@ def make_train_step(
             return loss, logits
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
+            params
         )
-        state = state.apply_gradients(grads=grads)
         correct = jnp.sum(jnp.argmax(logits, -1) == labels)
+        return grads, loss * labels.shape[0], correct
+
+    @jit
+    def train_step(state, images_u8, labels, key):
+        b = labels.shape[0]
+        if microbatch and b > microbatch and b % microbatch == 0:
+            # Gradient accumulation over microbatch chunks inside ONE XLA
+            # program: identical batch-mean loss/grad math, but the live
+            # activation set is per-chunk. Measured on v5e @ ViT-B/16: the
+            # 128-image working set degrades XLA's scheduling (596 img/s)
+            # while 64-image chunks run at 737 img/s — the chunked scan
+            # recovers that locality without changing batch semantics.
+            n = b // microbatch
+            imgs = images_u8.reshape((n, microbatch) + images_u8.shape[1:])
+            labs = labels.reshape(n, microbatch)
+
+            def chunk(carry, xs):
+                gacc, lacc, cacc = carry
+                im, la, i = xs
+                g, ls, co = fwd_bwd(
+                    state.params, state.apply_fn, im, la,
+                    jax.random.fold_in(key, i),
+                )
+                gacc = jax.tree.map(jnp.add, gacc, g)
+                return (gacc, lacc + ls, cacc + co), None
+
+            zeros = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            (gsum, loss_sum, correct), _ = jax.lax.scan(
+                chunk,
+                (zeros, jnp.float32(0), jnp.int32(0)),
+                (imgs, labs, jnp.arange(n)),
+            )
+            grads = jax.tree.map(lambda g: g / n, gsum)
+        else:
+            grads, loss_sum, correct = fwd_bwd(
+                state.params, state.apply_fn, images_u8, labels, key
+            )
+        state = state.apply_gradients(grads=grads)
         metrics = {
-            "loss_sum": loss * labels.shape[0],
+            "loss_sum": loss_sum,
             "correct": correct,
             "count": jnp.asarray(labels.shape[0], jnp.int32),
         }

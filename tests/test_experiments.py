@@ -63,9 +63,12 @@ def test_sppp(dirs):
 
 def test_mhla_pretrained_offline_fallback(dirs):
     """Without a cached checkpoint the experiment must fall back to random
-    init (logged) and still produce the exp4 CSV with LR-group counts."""
+    init (logged) and still produce the exp4 CSV with LR-group counts.
+    (The repo's own pretrained_weights/ may hold the generated fixture, so
+    point the cache at an empty dir to exercise the fallback.)"""
     e = exp.PretrainedMHLAViTExperiment(
-        **TINY, **dirs, window_size=5, head_learning_rate=1e-3
+        **TINY, **dirs, window_size=5, head_learning_rate=1e-3,
+        pretrained_cache_dir=os.path.join(dirs["results_dir"], "empty_cache"),
     )
     e.run()
     assert e.pretrained_loaded is False
@@ -207,3 +210,71 @@ def test_cli_dispatch(dirs, capsys):
     assert os.path.exists(
         os.path.join(dirs["results_dir"], "exp1_traditional.csv")
     )
+
+
+def test_microbatch_accumulation_matches_single_batch():
+    """Gradient accumulation (microbatch) ≡ monolithic batch step: same
+    loss, same parameter trajectory to Adam-noise tolerance (augment and
+    dropout off so the math is deterministic)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from focused_attention_vit_tpu.models import VisionTransformer
+    from focused_attention_vit_tpu.train.state import TrainState, make_adamw
+    from focused_attention_vit_tpu.train.steps import make_train_step
+
+    rng = np.random.default_rng(0)
+    b = 16
+    model = VisionTransformer(
+        img_size=32, patch_size=4, num_classes=10,
+        embed_dim=64, depth=2, num_heads=4, dropout=0.0,
+    )
+    x = jnp.asarray(rng.integers(0, 255, size=(b, 32, 32, 3)), dtype=jnp.uint8)
+    y = jnp.asarray(rng.integers(0, 10, size=(b,)))
+    params0 = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
+    )["params"]
+
+    def run(mb):
+        p = jax.tree.map(lambda a: a.copy(), params0)  # donation-safe
+        state = TrainState.create(
+            apply_fn=model.apply, params=p, tx=make_adamw(1e-3)
+        )
+        step = make_train_step(32, augment=False, microbatch=mb)
+        key = jax.random.PRNGKey(0)
+        for i in range(3):
+            state, m = step(state, x, y, jax.random.fold_in(key, i))
+        return state, m
+
+    s1, m1 = run(None)
+    s2, m2 = run(4)
+    np.testing.assert_allclose(
+        float(m1["loss_sum"]), float(m2["loss_sum"]), rtol=1e-5
+    )
+    assert int(m2["count"]) == b
+    diffs = jax.tree.map(
+        lambda a, c: float(jnp.abs(a - c).max()), s1.params, s2.params
+    )
+    assert max(jax.tree.leaves(diffs)) < 1e-4  # Adam-amplified float reorder
+
+
+def test_effective_microbatch_rules(dirs):
+    data_dir, results_dir = dirs
+    e = exp.TraditionalViTExperiment(
+        batch_size=128, data_dir=data_dir, results_dir=results_dir
+    )
+    e.mesh = None
+    assert e._effective_microbatch() == 16  # auto for dense ViT
+    e.microbatch = 0
+    assert e._effective_microbatch() is None  # 0 disables
+    e.microbatch = 50  # not a divisor of 128
+    assert e._effective_microbatch() is None
+    e.microbatch = 64
+    assert e._effective_microbatch() == 64
+
+    s = exp.SPPPExperiment(
+        batch_size=128, data_dir=data_dir, results_dir=results_dir
+    )
+    s.mesh = None
+    assert s._effective_microbatch() is None  # SPPP opts out of auto

@@ -244,6 +244,119 @@ class TestWindowedAttention:
             rtol=1e-5,
         )
 
+    def test_v4_tile_band_fwd_and_grads(self, rng):
+        """v4 tile-band kernel (interpret mode): fwd + all three custom-VJP
+        grads ≡ the shift-banded clamp formulation, including the
+        edge-clamp gradient fold."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from focused_attention_vit_tpu.ops.mhla_kernel_v4 import (
+            banded_attention_v4,
+        )
+        from focused_attention_vit_tpu.ops.window import (
+            _shift_banded_attention,
+        )
+
+        b, h, s, d, w = 2, 2, 197, 64, 7
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        cot = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+
+        with pltpu.force_tpu_interpret_mode():
+            out = banded_attention_v4(q, k, v, w, block=64)
+            g_v4 = jax.grad(
+                lambda q, k, v: (banded_attention_v4(q, k, v, w, block=64) * cot).sum(),
+                argnums=(0, 1, 2),
+            )(q, k, v)
+        ref = _shift_banded_attention(q, k, v, w)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-4
+        )
+        g_ref = jax.grad(
+            lambda q, k, v: (_shift_banded_attention(q, k, v, w) * cot).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b_ in zip(g_v4, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-4
+            )
+
+
+class TestFusedMHA:
+    def test_matches_dense_and_grads(self, rng):
+        """Fused single-tile attention kernel (interpret mode, p=0): fwd and
+        all custom-VJP grads ≡ the dense einsum path. (The in-kernel PRNG
+        dropout branch requires real TPU hardware — validated there: mask
+        determinism per key, mean preservation ≈1.0, per-head streams.)"""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from focused_attention_vit_tpu.ops.mha_kernel import (
+            fused_multi_head_attention,
+        )
+        from focused_attention_vit_tpu.ops.attention import (
+            scaled_dot_product_attention,
+        )
+
+        b, h, s, d = 2, 3, 197, 64
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        cot = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+
+        with pltpu.force_tpu_interpret_mode():
+            out = fused_multi_head_attention(q, k, v)
+            g1 = jax.grad(
+                lambda q, k, v: (fused_multi_head_attention(q, k, v) * cot).sum(),
+                argnums=(0, 1, 2),
+            )(q, k, v)
+        ref = scaled_dot_product_attention(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-4
+        )
+        g2 = jax.grad(
+            lambda q, k, v: (scaled_dot_product_attention(q, k, v) * cot).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-4
+            )
+
+
+class TestAugmentation:
+    def test_onehot_crop_matches_dynamic_slice(self, rng):
+        """The MXU one-hot crop ≡ per-image pad-crop via dynamic_slice
+        (reference transform RandomCrop(32, padding=4),
+        utils/data_utils.py:33-37)."""
+        from focused_attention_vit_tpu.data.pipeline import augment_train_batch
+
+        b, h, w, c, p = 8, 32, 32, 3, 4
+        imgs = rng.integers(0, 255, size=(b, h, w, c)).astype(np.uint8)
+        key = jax.random.PRNGKey(7)
+        out = np.asarray(
+            augment_train_batch(jnp.asarray(imgs), key, img_size=h)
+        )
+
+        # Oracle: same keys/offsets, dynamic_slice crop.
+        from focused_attention_vit_tpu.data.pipeline import (
+            CIFAR10_MEAN, CIFAR10_STD, _normalize,
+        )
+
+        k_crop, k_flip = jax.random.split(key)
+        x = jnp.asarray(imgs).astype(jnp.float32) / 255.0
+        xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+        offs = jax.random.randint(k_crop, (b, 2), 0, 2 * p + 1)
+        crop = jax.vmap(
+            lambda img, off: jax.lax.dynamic_slice(
+                img, (off[0], off[1], 0), (h, w, c)
+            )
+        )(xp, offs)
+        flip = jax.random.bernoulli(k_flip, 0.5, (b,))
+        crop = jnp.where(flip[:, None, None, None], crop[:, :, ::-1, :], crop)
+        expect = np.asarray(_normalize(crop, CIFAR10_MEAN, CIFAR10_STD))
+        np.testing.assert_allclose(out, expect, atol=1e-5, rtol=1e-5)
+
 
 class TestChunkedAttention:
     def test_matches_dense(self, rng):
