@@ -39,19 +39,36 @@ class Predictor:
         compute_dtype=jnp.bfloat16,
         mean=CIFAR10_MEAN,
         std=CIFAR10_STD,
+        chunk: int = 64,
     ):
         self.model = model
         self.params = params
         self.img_size = img_size
         self.batch_size = batch_size
 
-        @jax.jit
-        def _fwd(params, images_u8):
+        def one_chunk(params, images_u8):
             x = prepare_eval_batch(
                 images_u8, img_size, mean=mean, std=std, dtype=compute_dtype
             )
             logits = model.apply({"params": params}, x).astype(jnp.float32)
             return jax.nn.softmax(logits, axis=-1)
+
+        if chunk and batch_size > chunk and batch_size % chunk == 0:
+            n = batch_size // chunk
+
+            # Scan over chunks inside one program: measured on v5e, XLA's
+            # scheduling degrades with the live activation set — chunk-64
+            # eval runs batch 128 in ~46 ms device time vs ~72 ms
+            # monolithic (BASELINE.md "v5e roofline").
+            @jax.jit
+            def _fwd(params, images_u8):
+                xs = images_u8.reshape((n, chunk) + images_u8.shape[1:])
+                _, probs = jax.lax.scan(
+                    lambda _, xc: (None, one_chunk(params, xc)), None, xs
+                )
+                return probs.reshape(batch_size, -1)
+        else:
+            _fwd = jax.jit(one_chunk)
 
         self._fwd = _fwd
 
