@@ -169,8 +169,14 @@ def _slic_single(
 
     def step(_, carry):
         c_color, c_pos = carry
-        labels = assign(c_color, c_pos)  # [P]
+        # In-loop, match skimage exactly: uncovered pixels stay unlabelled
+        # and contribute nothing to the centroid update (no fallback argmin
+        # here — it exists only in the final assignment).
+        d_masked, _ = distances(c_color, c_pos)
+        d_min = jnp.min(d_masked, axis=-1)
+        labels = jnp.argmin(d_masked, axis=-1)  # [P]
         onehot = jax.nn.one_hot(labels, num_segments, dtype=jnp.float32)
+        onehot = onehot * jnp.isfinite(d_min)[:, None]
         counts = jnp.maximum(onehot.sum(0), 1.0)  # [R]
         new_color = (onehot.T @ feats) / counts[:, None]
         new_y = (onehot.T @ ygrid) / counts
