@@ -40,11 +40,36 @@ class Predictor:
         mean=CIFAR10_MEAN,
         std=CIFAR10_STD,
         chunk: int = 64,
+        mesh=None,
     ):
+        """With ``mesh`` (a ('data','model') jax.sharding.Mesh), params are
+        placed per the TP sharding rules and request batches shard over
+        'data' — multi-chip serving with the same fixed-shape program."""
         self.model = model
-        self.params = params
         self.img_size = img_size
         self.batch_size = batch_size
+        self.mesh = mesh
+
+        jit_kw = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from focused_attention_vit_tpu.parallel import shard_params
+
+            params = shard_params(params, mesh)
+            if batch_size % mesh.shape["data"]:
+                raise ValueError(
+                    f"batch_size={batch_size} must be divisible by the "
+                    f"'data' axis size {mesh.shape['data']}"
+                )
+            # On a mesh, chunking would scan over the batch axis that DP
+            # shards; the per-device batch is already small.
+            chunk = None
+            jit_kw = dict(
+                in_shardings=(None, NamedSharding(mesh, P("data"))),
+                out_shardings=NamedSharding(mesh, P("data")),
+            )
+        self.params = params
 
         def one_chunk(params, images_u8):
             x = prepare_eval_batch(
@@ -68,7 +93,7 @@ class Predictor:
                 )
                 return probs.reshape(batch_size, -1)
         else:
-            _fwd = jax.jit(one_chunk)
+            _fwd = jax.jit(one_chunk, **jit_kw)
 
         self._fwd = _fwd
 

@@ -63,3 +63,44 @@ def test_from_checkpoint(tmp_path):
     imgs = np.zeros((3, 16, 16, 3), dtype=np.uint8)
     ids, _ = pred.predict(imgs)
     assert ids.shape == (3,)
+
+
+def test_predictor_on_mesh():
+    """Multi-chip serving: Predictor with a ('data','model') mesh — DP
+    batch sharding + TP params produce the same probabilities as the
+    single-device predictor."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from focused_attention_vit_tpu.infer import Predictor
+    from focused_attention_vit_tpu.models import VisionTransformer
+    from focused_attention_vit_tpu.parallel import make_mesh
+
+    model = VisionTransformer(
+        img_size=32, patch_size=4, num_classes=10,
+        embed_dim=64, depth=2, num_heads=4,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
+    )["params"]
+    imgs = np.random.default_rng(0).integers(
+        0, 255, size=(40, 32, 32, 3)
+    ).astype(np.uint8)
+
+    single = Predictor(
+        model, params, img_size=32, batch_size=16, compute_dtype=jnp.float32
+    )
+    mesh = make_mesh(8, tp=2)
+    sharded = Predictor(
+        model, params, img_size=32, batch_size=16,
+        compute_dtype=jnp.float32, mesh=mesh,
+    )
+    p1 = single.predict_proba(imgs)
+    p2 = sharded.predict_proba(imgs)
+    np.testing.assert_allclose(p1, p2, atol=2e-5, rtol=1e-4)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        Predictor(model, params, img_size=32, batch_size=15, mesh=mesh)
