@@ -110,3 +110,40 @@ def test_cifar100_binary_format(tmp_path):
     assert data["train_images"].shape == (40, 32, 32, 3)
     assert data["num_classes"] == 100
     assert list(data["test_labels"][:5]) == [0, 1, 2, 3, 4]
+
+
+def test_imagenet_imagefolder_loader(tmp_path):
+    """ImageFolder layout → decoded uint8 NHWC arrays with sorted-class
+    mapping (reference idx_to_class convention,
+    /root/reference/utils/data_utils.py:159-244)."""
+    from PIL import Image
+
+    from focused_attention_vit_tpu.data.imagenet import load_imagenet_subset
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "imagenet"
+    for split, n in (("train", 3), ("val", 2)):
+        for cname in ("zebra", "abacus"):  # unsorted on purpose
+            d = root / split / cname
+            os.makedirs(d)
+            for i in range(n):
+                arr = rng.integers(0, 255, size=(40, 52, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(d / f"img_{i}.png")
+
+    data = load_imagenet_subset(str(root), base_size=32)
+    assert data["class_names"] == ["abacus", "zebra"]  # sorted
+    assert data["num_classes"] == 2
+    assert data["train_images"].shape == (6, 32, 32, 3)
+    assert data["test_images"].shape == (4, 32, 32, 3)
+    assert data["train_images"].dtype == np.uint8
+    # sorted-class label mapping: abacus=0 first, zebra=1 second
+    assert list(data["train_labels"]) == [0, 0, 0, 1, 1, 1]
+
+    sub = load_imagenet_subset(str(root), base_size=32, subset_size=4)
+    assert len(sub["train_images"]) == 4
+    assert len(sub["test_images"]) == 1
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        load_imagenet_subset(str(tmp_path / "nope"))
