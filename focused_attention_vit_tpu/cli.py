@@ -54,6 +54,13 @@ def parse_args(argv=None):
     parser.add_argument("--compactness", type=float, default=0.1)
     parser.add_argument("--pooling_type", type=str, default="mean",
                         choices=["mean", "max", "attention"])
+    parser.add_argument("--slic_connectivity", type=str, default="auto",
+                        choices=["auto", "on", "off"],
+                        help="skimage-style SLIC connectivity enforcement: "
+                             "auto = on for images <=64^2 px (where it is "
+                             "cheap and golden-validated), off above; "
+                             "'on' forces full skimage fidelity at 224^2 "
+                             "(~40x SLIC cost — see BASELINE.md)")
 
     # MHLA settings (reference: main.py:123-124)
     parser.add_argument("--window_size", type=int, default=7)
@@ -153,6 +160,7 @@ def _sppp_kwargs(args):
         num_superpixels=args.num_superpixels,
         compactness=args.compactness,
         pooling_type=args.pooling_type,
+        slic_connectivity=args.slic_connectivity,
     )
 
 

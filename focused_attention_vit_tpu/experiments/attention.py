@@ -28,6 +28,7 @@ class CrossAttentionExperiment(PretrainedMixin, ExperimentBase):
     num_superpixels: int = 16
     compactness: float = 0.1
     pooling_type: str = "mean"
+    slic_connectivity: str = "auto"  # 'auto'|'on'|'off' (ops/slic)
     use_pretrained: bool = False
     use_multi_head: bool = False
     # Cross-attention models mix SPPP/dense paths; auto-chunking is only a
@@ -86,6 +87,7 @@ class CrossAttentionExperiment(PretrainedMixin, ExperimentBase):
                 num_superpixels=self.num_superpixels,
                 compactness=self.compactness,
                 pooling_type=self.pooling_type,
+                slic_connectivity=self._slic_connectivity(),
                 **common,
             )
         return CrossAttentionViT(**common)
@@ -198,6 +200,7 @@ def _args_to_kwargs(args) -> Dict[str, Any]:
         num_superpixels=args.num_superpixels,
         compactness=args.compactness,
         pooling_type=args.pooling_type,
+        slic_connectivity=getattr(args, "slic_connectivity", "auto"),
         pretrained_model_variant=args.pretrained_model_variant,
         pretrained_source=args.pretrained_source,
         freeze_layers=args.freeze_layers,

@@ -106,6 +106,20 @@ class ExperimentBase:
     def build_model(self):
         raise NotImplementedError
 
+    def _slic_connectivity(self):
+        """Map the CLI string to ops/slic's enforce_connectivity value."""
+        v = getattr(self, "slic_connectivity", "auto")
+        if isinstance(v, str):
+            v = v.lower()
+            if v == "auto":
+                return "auto"
+            if v in ("on", "true", "1"):
+                return True
+            if v in ("off", "false", "0"):
+                return False
+            raise ValueError(f"slic_connectivity must be auto/on/off, got {v!r}")
+        return bool(v)
+
     def build_params(self, model, rng, sample):
         """Default: random init. Pretrained experiments override."""
         return None  # create_train_state will init

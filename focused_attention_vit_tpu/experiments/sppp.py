@@ -21,6 +21,7 @@ class SPPPExperiment(ExperimentBase):
     num_superpixels: int = 16
     compactness: float = 0.1
     pooling_type: str = "mean"
+    slic_connectivity: str = "auto"  # 'auto'|'on'|'off' (ops/slic)
     batch_size: int = 124  # reference default (experiments/sppp.py:53)
     model_display_name: str = "SPPP ViT"
     csv_filename: str = "exp2_sppp.csv"
@@ -42,6 +43,7 @@ class SPPPExperiment(ExperimentBase):
             num_superpixels=self.num_superpixels,
             compactness=self.compactness,
             pooling_type=self.pooling_type,
+            slic_connectivity=self._slic_connectivity(),
             dtype=self.jnp_dtype,
         )
 

@@ -47,6 +47,7 @@ class PretrainedSPPPMHLAExperiment(PretrainedMixin, SPPPExperiment):
             num_superpixels=self.num_superpixels,
             compactness=self.compactness,
             pooling_type=self.pooling_type,
+            slic_connectivity=self._slic_connectivity(),
             window_size=self.window_size,
             use_mhla=True,
             dtype=self.jnp_dtype,

@@ -41,6 +41,7 @@ class PretrainedSPPPExperiment(PretrainedMixin, SPPPExperiment):
             num_superpixels=self.num_superpixels,
             compactness=self.compactness,
             pooling_type=self.pooling_type,
+            slic_connectivity=self._slic_connectivity(),
             dtype=self.jnp_dtype,
         )
 

@@ -124,6 +124,9 @@ class CrossAttentionSPPPViT(nn.Module):
     pooling_type: str = "mean"
     use_multi_head: bool = False
     slic_iters: int = 10
+    # SLIC connectivity policy: 'auto' (on ≤64² px), True, False —
+    # see ops/slic.slic_segment
+    slic_connectivity: "bool | str" = "auto"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -166,6 +169,7 @@ class CrossAttentionSPPPViT(nn.Module):
             patch_size=self.patch_size,
             num_superpixels=self.num_superpixels,
             compactness=self.compactness,
+            slic_connectivity=self.slic_connectivity,
             pooling_type=self.pooling_type,
             slic_iters=self.slic_iters,
         )

@@ -118,6 +118,9 @@ class PretrainedSPPPViTWithMHLA(nn.Module):
     compactness: float = 0.1
     pooling_type: str = "mean"
     slic_iters: int = 10
+    # SLIC connectivity policy: 'auto' (on ≤64² px), True, False —
+    # see ops/slic.slic_segment
+    slic_connectivity: "bool | str" = "auto"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -160,6 +163,7 @@ class PretrainedSPPPViTWithMHLA(nn.Module):
             patch_size=self.patch_size,
             num_superpixels=self.num_superpixels,
             compactness=self.compactness,
+            slic_connectivity=self.slic_connectivity,
             pooling_type=self.pooling_type,
             slic_iters=self.slic_iters,
         )

@@ -35,6 +35,7 @@ def sppp_tokens(
     pooling_type: str,
     slic_iters: int = 10,
     slic_sigma: float = 1.0,
+    slic_connectivity: "bool | str" = "auto",
 ) -> jnp.ndarray:
     """Build the [B, R+1, D] SPPP token sequence (pos-encoding included).
 
@@ -58,6 +59,7 @@ def sppp_tokens(
         compactness=compactness,
         sigma=slic_sigma,
         n_iter=slic_iters,
+        enforce_connectivity=slic_connectivity,
     )  # [B, H, W]
 
     # Step 3: dominant superpixel per patch → pooled segment tokens.

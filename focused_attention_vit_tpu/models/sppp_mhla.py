@@ -39,6 +39,9 @@ class SPPPViTMHLA(nn.Module):
     use_mhla: bool = False
     use_flash: Optional[bool] = None
     slic_iters: int = 10
+    # SLIC connectivity policy: 'auto' (on ≤64² px), True, False —
+    # see ops/slic.slic_segment
+    slic_connectivity: "bool | str" = "auto"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -83,6 +86,7 @@ class SPPPViTMHLA(nn.Module):
             patch_size=self.patch_size,
             num_superpixels=self.num_superpixels,
             compactness=self.compactness,
+            slic_connectivity=self.slic_connectivity,
             pooling_type=self.pooling_type,
             slic_iters=self.slic_iters,
         )

@@ -278,3 +278,16 @@ def test_effective_microbatch_rules(dirs):
     )
     s.mesh = None
     assert s._effective_microbatch() is None  # SPPP opts out of auto
+
+
+def test_slic_connectivity_flag_mapping(dirs):
+    data_dir, results_dir = dirs
+    e = exp.SPPPExperiment(data_dir=data_dir, results_dir=results_dir)
+    assert e._slic_connectivity() == "auto"
+    e.slic_connectivity = "on"
+    assert e._slic_connectivity() is True
+    e.slic_connectivity = "off"
+    assert e._slic_connectivity() is False
+    e.slic_connectivity = "bogus"
+    with pytest.raises(ValueError):
+        e._slic_connectivity()
