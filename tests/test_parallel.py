@@ -256,3 +256,36 @@ def test_dp_through_train_and_evaluate():
     np.testing.assert_allclose(
         r_single["val_losses"], r_mesh["val_losses"], rtol=1e-4
     )
+
+
+def test_tp2_forward_matches_replicated_mhla():
+    """tp=2 on the flagship windowed-MHLA model: head-sharded qkv/proj +
+    per-head banded attention must reproduce the replicated forward."""
+    mesh = make_mesh(8, tp=2)
+    model = fmodels.VisionTransformerMHLA(
+        img_size=16, patch_size=4, num_classes=5, embed_dim=32,
+        depth=2, num_heads=4, window_size=5, use_mhla=True,
+    )
+    rng = np.random.default_rng(0)
+    x_u8 = jnp.asarray(
+        rng.integers(0, 255, size=(16, 16, 16, 3)), dtype=jnp.uint8
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 16, 16, 3), jnp.float32)
+    )["params"]
+
+    from focused_attention_vit_tpu.data.pipeline import prepare_eval_batch
+
+    imgs = prepare_eval_batch(x_u8, 16)
+    expect = model.apply({"params": params}, imgs)
+
+    sharded = shard_params(jax.tree.map(jnp.array, params), mesh)
+
+    @jax.jit
+    def fwd(p, x):
+        return model.apply({"params": p}, x)
+
+    got = fwd(sharded, jax.device_put(imgs, NamedSharding(mesh, P("data"))))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect), atol=1e-5, rtol=1e-5
+    )
