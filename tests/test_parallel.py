@@ -289,3 +289,23 @@ def test_tp2_forward_matches_replicated_mhla():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(expect), atol=1e-5, rtol=1e-5
     )
+
+
+def test_microbatch_ignored_under_mesh():
+    """make_train_step(mesh=..., microbatch=...) must not chunk — chunking
+    would reshape across the DP-sharded batch axis."""
+    mesh = make_mesh(8, tp=1)
+    model = fmodels.VisionTransformer(**TINY)
+    rng = np.random.default_rng(0)
+    x_u8 = jnp.asarray(
+        rng.integers(0, 255, size=(16, 16, 16, 3)), dtype=jnp.uint8
+    )
+    y = jnp.asarray(rng.integers(0, 5, size=(16,)))
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 16, 16, 3), jnp.float32)
+    )["params"]
+    state = shard_state(_fresh_state(model, params), mesh)
+    step = make_train_step(16, mesh=mesh, microbatch=4)  # must be ignored
+    state, m = step(state, x_u8, y, jax.random.PRNGKey(1))
+    assert int(m["count"]) == 16
+    assert np.isfinite(float(m["loss_sum"]))
