@@ -19,6 +19,10 @@ from focused_attention_vit_tpu.ops.segment_pool import (
     superpixel_centroids,
 )
 from focused_attention_vit_tpu.ops.slic import slic_segment
+from focused_attention_vit_tpu.ops.mha_kernel import (
+    fused_multi_head_attention,
+    fused_mha_supported,
+)
 
 __all__ = [
     "extract_patches",
@@ -33,4 +37,6 @@ __all__ = [
     "segment_pool",
     "superpixel_centroids",
     "slic_segment",
+    "fused_multi_head_attention",
+    "fused_mha_supported",
 ]
