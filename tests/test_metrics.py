@@ -58,3 +58,22 @@ def test_accuracy(rng):
     logits = np.array([[1.0, 0.0], [0.0, 1.0], [2.0, 1.0]], np.float32)
     labels = np.array([0, 1, 1])
     assert abs(float(accuracy_from_logits(jnp.asarray(logits), jnp.asarray(labels))) - 2 / 3) < 1e-6
+
+
+def test_bench_flops_formula_sanity():
+    """bench.py's MFU numerator must track 2·matmul-params·tokens for the
+    dominant terms (guards the MFU report against formula drift)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import vit_matmul_flops_per_image
+
+    f = vit_matmul_flops_per_image(224, 16, 768, 12, 12)
+    s, d = 197, 768
+    # dominant dense params: qkv+proj+mlp = 12·D² per block × depth
+    dense_params = 12 * 12 * d * d
+    expect_dense = 2 * s * dense_params
+    attn = 12 * 4 * s * s * d
+    patch = 2 * s * (16 * 16 * 3) * d
+    assert abs(f - (expect_dense + attn + patch + 2 * d * 10)) / f < 1e-6
+    # ballpark: ViT-B fwd ≈ 35 GFLOP/img at 224² (2 FLOPs/MAC convention)
+    assert 30e9 < f < 40e9
