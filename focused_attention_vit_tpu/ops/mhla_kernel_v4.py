@@ -401,8 +401,11 @@ def banded_attention_v4b(
     b, h, s, d = q.shape
     bh = b * h
     hw = window_size // 2
-    t = min(block, -(-s // 8) * 8)
-    halo = _halo(t, hw)
+    halo = _halo(block, hw)
+    # _window_tiles slices 2*halo halo rows out of each t-row tile, so the
+    # effective tile must satisfy t >= 2*halo or pallas_call hits a
+    # trace-time shape mismatch (short-S inputs with the default halo).
+    t = max(2 * halo, min(block, -(-s // 8) * 8))
     sp = -(-s // t) * t
     n_t = sp // t
     ext = t + 2 * halo

@@ -43,6 +43,29 @@ import numpy as np
 # whole SPPP pipeline — see slic_segment's docstring).
 AUTO_CONNECTIVITY_MAX_PIXELS = 64 * 64
 
+_warned_auto_off = False
+
+
+def _warn_auto_connectivity_off(h: int, w: int) -> None:
+    """One-time visibility for the auto connectivity-off decision, so the
+    deviation from skimage's default semantics shows up in experiment logs,
+    not only in docs (skimage enforce_connectivity defaults to True, which
+    the reference inherits at /root/reference/models/sppp.py:64-65)."""
+    global _warned_auto_off
+    if _warned_auto_off:
+        return
+    _warned_auto_off = True
+    import warnings
+
+    warnings.warn(
+        f"SLIC enforce_connectivity='auto' resolved to OFF at {h}x{w} "
+        f"(> {AUTO_CONNECTIVITY_MAX_PIXELS} px): the skimage-default "
+        "connectivity relabel/merge step is skipped for speed. Pass "
+        "enforce_connectivity=True (CLI: --slic_connectivity on) to "
+        "restore skimage fidelity.",
+        stacklevel=3,
+    )
+
 
 def _gaussian_kernel1d(sigma: float) -> np.ndarray:
     # scipy.ndimage.gaussian_filter truncates at 4σ — match it so the
@@ -177,11 +200,19 @@ def _slic_single(
         labels = jnp.argmin(d_masked, axis=-1)  # [P]
         onehot = jax.nn.one_hot(labels, num_segments, dtype=jnp.float32)
         onehot = onehot * jnp.isfinite(d_min)[:, None]
-        counts = jnp.maximum(onehot.sum(0), 1.0)  # [R]
+        raw_counts = onehot.sum(0)  # [R]
+        counts = jnp.maximum(raw_counts, 1.0)
         new_color = (onehot.T @ feats) / counts[:, None]
         new_y = (onehot.T @ ygrid) / counts
         new_x = (onehot.T @ xgrid) / counts
-        return new_color, jnp.stack([new_y, new_x], axis=-1)
+        new_pos = jnp.stack([new_y, new_x], axis=-1)
+        # A cluster that captured zero pixels keeps its previous centroid
+        # (skimage: `if not mask.any(): continue`); without this guard the
+        # clamped division would collapse it to position (0,0) / color 0.
+        has = raw_counts > 0.0
+        new_color = jnp.where(has[:, None], new_color, c_color)
+        new_pos = jnp.where(has[:, None], new_pos, c_pos)
+        return new_color, new_pos
 
     # skimage runs `assign → update` n_iter times and keeps the labels of the
     # *last assignment* — i.e. the final labels see n_iter-1 centroid
@@ -374,6 +405,8 @@ def slic_segment(
     if enforce_connectivity == "auto":
         h, w = images.shape[1:3]
         enforce_connectivity = h * w <= AUTO_CONNECTIVITY_MAX_PIXELS
+        if not enforce_connectivity:
+            _warn_auto_connectivity_off(h, w)
 
     def per_image(im):
         im = gaussian_blur(im, sigma)

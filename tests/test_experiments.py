@@ -260,7 +260,7 @@ def test_microbatch_accumulation_matches_single_batch():
 
 
 def test_effective_microbatch_rules(dirs):
-    data_dir, results_dir = dirs
+    data_dir, results_dir = dirs["data_dir"], dirs["results_dir"]
     e = exp.TraditionalViTExperiment(
         batch_size=128, data_dir=data_dir, results_dir=results_dir
     )
@@ -281,7 +281,7 @@ def test_effective_microbatch_rules(dirs):
 
 
 def test_slic_connectivity_flag_mapping(dirs):
-    data_dir, results_dir = dirs
+    data_dir, results_dir = dirs["data_dir"], dirs["results_dir"]
     e = exp.SPPPExperiment(data_dir=data_dir, results_dir=results_dir)
     assert e._slic_connectivity() == "auto"
     e.slic_connectivity = "on"
