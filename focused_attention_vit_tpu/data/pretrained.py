@@ -59,6 +59,47 @@ def _load_torch_state_dict(path: str):
     return obj
 
 
+def _msgpack_path(cache_dir: str, variant: str) -> str:
+    return os.path.join(cache_dir, f"{variant}_flax.msgpack")
+
+
+def _write_msgpack_cache(path: str, params: Dict[str, Any]) -> None:
+    """Write-through cache of the converted pytree (checkpoint's own head
+    kept), generalizing the reference's save-the-downloaded-state-dict cache
+    (utils/data_utils.py:291-303) to the converted form: subsequent loads
+    never touch torch."""
+    from flax import serialization
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.msgpack_serialize(params))
+    os.replace(tmp, path)
+    logger.info("Cached converted params to %s", path)
+
+
+def _read_msgpack_cache(path: str) -> Dict[str, Any]:
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def _apply_head_rule(
+    params: Dict[str, Any], num_classes: Optional[int]
+) -> Dict[str, Any]:
+    """Drop the classifier head when its class count mismatches
+    ``num_classes`` — the reference's strip-head-keys behaviour
+    (utils/data_utils.py:408-426). The caller random-inits the new head."""
+    if (
+        num_classes is not None
+        and "head" in params
+        and int(np.asarray(params["head"]["kernel"]).shape[-1]) != num_classes
+    ):
+        params = dict(params)
+        params.pop("head")
+    return params
+
+
 def load_pretrained_vit_params(
     variant: str = "vit_b_16",
     source: str = "torchvision",
@@ -76,21 +117,27 @@ def load_pretrained_vit_params(
     """
     cfg = variant_config(variant)
     os.makedirs(cache_dir, exist_ok=True)
+    msg = _msgpack_path(cache_dir, variant)
 
-    # 1. Reference-style torch cache file.
+    # 0. Pre-converted Flax pytree cache: fastest, torch-free.
+    if os.path.exists(msg):
+        params = _read_msgpack_cache(msg)
+        logger.info("Loaded converted msgpack cache %s", msg)
+        return _apply_head_rule(params, num_classes), cfg
+
+    # 1. Reference-style torch cache file (converted full, then cached).
     pth = os.path.join(cache_dir, f"{variant}_weights.pth")
     if os.path.exists(pth):
         sd = _load_torch_state_dict(pth)
         logger.info("Loaded cached torch checkpoint %s", pth)
-        return (
-            torchvision_vit_to_flax(
-                sd,
-                depth=cfg["depth"],
-                num_classes=num_classes,
-                num_heads=cfg["num_heads"],
-            ),
-            cfg,
+        params = torchvision_vit_to_flax(
+            sd,
+            depth=cfg["depth"],
+            num_classes=None,
+            num_heads=cfg["num_heads"],
         )
+        _write_msgpack_cache(msg, params)
+        return _apply_head_rule(params, num_classes), cfg
 
     # 2. HuggingFace local snapshot (source='huggingface',
     #    reference: utils/data_utils.py:327-381).
@@ -105,15 +152,14 @@ def load_pretrained_vit_params(
             model = ViTModel.from_pretrained(hf_name, local_files_only=True)
             sd = model.state_dict()
             logger.info("Loaded local HF snapshot %s", hf_name)
-            return (
-                hf_vit_to_flax(
-                    sd,
-                    depth=cfg["depth"],
-                    num_classes=num_classes,
-                    num_heads=cfg["num_heads"],
-                ),
-                cfg,
+            params = hf_vit_to_flax(
+                sd,
+                depth=cfg["depth"],
+                num_classes=None,
+                num_heads=cfg["num_heads"],
             )
+            _write_msgpack_cache(msg, params)
+            return _apply_head_rule(params, num_classes), cfg
         except Exception as e:  # no snapshot / no network
             logger.info("No local HF snapshot (%s)", e)
 
@@ -128,15 +174,14 @@ def load_pretrained_vit_params(
         import torch
 
         torch.save(sd, pth)
-        return (
-            torchvision_vit_to_flax(
-                sd,
-                depth=cfg["depth"],
-                num_classes=num_classes,
-                num_heads=cfg["num_heads"],
-            ),
-            cfg,
+        params = torchvision_vit_to_flax(
+            sd,
+            depth=cfg["depth"],
+            num_classes=None,
+            num_heads=cfg["num_heads"],
         )
+        _write_msgpack_cache(msg, params)
+        return _apply_head_rule(params, num_classes), cfg
     except Exception as e:
         msg = (
             f"Pretrained weights for {variant!r} unavailable "

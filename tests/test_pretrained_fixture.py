@@ -35,6 +35,15 @@ def test_e3_setup_loads_fixture(fixture_ckpt, tmp_path, caplog):
         PretrainedTraditionalViTExperiment,
     )
 
+    # Copy the .pth into a fresh cache dir so the torch branch is exercised
+    # deterministically (the repo fixture dir may hold a msgpack
+    # write-through cache from earlier loads, which takes priority).
+    import shutil
+
+    cache_dir = tmp_path / "cache"
+    cache_dir.mkdir()
+    shutil.copy(fixture_ckpt, cache_dir / os.path.basename(fixture_ckpt))
+
     exp = PretrainedTraditionalViTExperiment(
         img_size=224,
         patch_size=16,  # vit_b_16 geometry so every body tensor merges
@@ -44,7 +53,7 @@ def test_e3_setup_loads_fixture(fixture_ckpt, tmp_path, caplog):
         batch_size=8,
         data_dir=str(tmp_path / "data"),
         results_dir=str(tmp_path / "results"),
-        pretrained_cache_dir=FIXTURE_DIR,
+        pretrained_cache_dir=str(cache_dir),
     )
     with caplog.at_level(logging.INFO):
         exp.setup()
@@ -71,6 +80,57 @@ def test_e3_setup_loads_fixture(fixture_ckpt, tmp_path, caplog):
     # The 1000-class head must have been dropped (class-count mismatch) —
     # the model keeps its 10-class random head.
     assert exp.state.params["head"]["kernel"].shape == (768, 10)
+
+
+def test_msgpack_cache_branch_round_trip(fixture_ckpt, tmp_path, caplog,
+                                         monkeypatch):
+    """First load converts the .pth and writes ``<variant>_flax.msgpack``;
+    the second load must read the msgpack WITHOUT touching torch and
+    return an identical pytree (VERDICT round-2 task 9; the cache behavior
+    generalizes /root/reference/utils/data_utils.py:291-303)."""
+    import shutil
+
+    import jax
+    from focused_attention_vit_tpu.data import pretrained as P
+
+    cache_dir = tmp_path / "cache"
+    cache_dir.mkdir()
+    shutil.copy(fixture_ckpt, cache_dir / os.path.basename(fixture_ckpt))
+
+    with caplog.at_level(logging.INFO):
+        params1, cfg1 = P.load_pretrained_vit_params(
+            variant="vit_b_16", cache_dir=str(cache_dir), num_classes=10
+        )
+    msg = cache_dir / "vit_b_16_flax.msgpack"
+    assert msg.exists(), "write-through msgpack cache was not created"
+    assert any(
+        "Loaded cached torch checkpoint" in r.getMessage()
+        for r in caplog.records
+    )
+
+    # Second load: remove the .pth and make torch loading impossible.
+    os.remove(cache_dir / os.path.basename(fixture_ckpt))
+
+    def _no_torch(path):
+        raise AssertionError("msgpack branch must not touch torch")
+
+    monkeypatch.setattr(P, "_load_torch_state_dict", _no_torch)
+    caplog.clear()
+    with caplog.at_level(logging.INFO):
+        params2, cfg2 = P.load_pretrained_vit_params(
+            variant="vit_b_16", cache_dir=str(cache_dir), num_classes=10
+        )
+    assert any(
+        "Loaded converted msgpack cache" in r.getMessage()
+        for r in caplog.records
+    )
+    assert cfg1 == cfg2
+    assert jax.tree.structure(params1) == jax.tree.structure(params2)
+    for a, b in zip(jax.tree.leaves(params1), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # 1000-class checkpoint head vs num_classes=10 → head dropped on BOTH
+    # branches (the strip-head rule applies identically after cache reads).
+    assert "head" not in params1 and "head" not in params2
 
 
 def test_missing_cache_falls_back_loudly(tmp_path, caplog):
