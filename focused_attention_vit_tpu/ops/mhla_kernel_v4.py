@@ -12,10 +12,19 @@ module is the tested record — fwd and the custom-VJP bwd (a key-tile
 kernel emitting dq/dk/dv in one pass, plus the edge-clamp gradient fold)
 are exact vs the oracle at 1e-5.
 
-Why v1-v3 lost (see ops/mhla_kernel_v3.py): every diagonal-by-diagonal
-formulation needs ±o row shifts of K/V, and Mosaic on this toolchain cannot
-express unaligned row access in VMEM (vector slices relayout through the
-VPU; DMA slices must be 8-row aligned). v4 sidesteps shifts entirely:
+Why v1-v3 lost (superseded generations, deleted after the investigation
+closed — findings preserved here and in BASELINE.md): every
+diagonal-by-diagonal formulation needs ±o row shifts of K/V, and Mosaic on
+this toolchain cannot express unaligned row access in VMEM. v1 (per-query-
+block W shifted multiply-reduces on the VPU, in-register softmax over W
+logits) hit Mosaic's sublane-shift relayouts — each ±o row shift of a VMEM
+vector lowers to a VPU relayout pass, turning the O(S·W·d) band into W
+full-tensor shuffles. v2 (fusing the latent projection into the same
+kernel to save one K/V round-trip) inherited the identical relayout wall.
+v3 (manual double-buffered DMA of shifted K/V windows from HBM) died on
+the 8-row DMA alignment rule: a DMA slice start must be 8-row aligned, so
+odd shifts are inexpressible and even ones pad 2× the bytes. v4 sidesteps
+shifts entirely:
 
 * tile the sequence into T-row query blocks;
 * each block's whole band lives inside K/V rows ``[iT - halo, iT + T + halo)``

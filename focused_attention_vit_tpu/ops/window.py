@@ -26,10 +26,11 @@ even case as the asymmetric window [i-hw, i+hw-1] with the same edge-padding
 rules, which degrades gracefully and agrees with the odd case construction.
 
 TPU notes: this module provides the correctness-first gather formulation
-(``jnp.take`` along the key axis). The fused banded-attention Pallas kernel
-in :mod:`focused_attention_vit_tpu.ops.mhla_kernel` implements the same
-numerics without materializing the ``[B, h, S, W, d]`` window tensor and is
-the production path for long sequences.
+(``jnp.take`` along the key axis). The production path for long sequences
+is the XLA shift-banded formulation below; the archival tile-band Pallas
+kernel (:mod:`focused_attention_vit_tpu.ops.mhla_kernel_v4`) implements
+the same numerics without materializing the ``[B, h, S, W, d]`` window
+tensor and is opt-in (measured slower on v5e — BASELINE.md roofline).
 """
 
 from __future__ import annotations
@@ -172,7 +173,7 @@ def windowed_latent_attention(
 
     Fast path: shift-based banded compute (O(S·W·d) reads, no [S, W, d]
     materialization) + exact edge-row overwrite; on TPU the banded part is
-    a fused Pallas kernel (ops/mhla_kernel.py). Falls back to the gather
+    a fused Pallas kernel (ops/mhla_kernel_v4.py). Falls back to the gather
     formulation for masked attention or tiny sequences.
 
     Args:
@@ -195,18 +196,19 @@ def windowed_latent_attention(
         and os.environ.get("FAVIT_USE_PALLAS_MHLA", "0") == "1"
     )
     if use_pallas:
-        # Opt-in: four kernel generations are numerically identical but all
-        # lose to XLA's fused shift formulation on v5e (23.5 ms fwd at
+        # Opt-in: five kernel generations were numerically identical but all
+        # lost to XLA's fused shift formulation on v5e (23.5 ms fwd at
         # B·h=1536, S=3137, d=64, W=7, bf16): v1/v2 on Mosaic's
         # sublane-shift relayouts, v3 on the 8-row DMA alignment rule, v4
         # on per-tile DMA latency, v4b on the 41×-inflated dense-tile
         # softmax. Full measured roofline: BASELINE.md "MHLA band roofline".
-        # Kept for hardware/toolchains where the balance differs.
-        from focused_attention_vit_tpu.ops.mhla_kernel import (
-            banded_attention_tpu,
+        # v4 (the strongest, with custom-VJP grads) is kept as the archival
+        # record for hardware/toolchains where the balance differs.
+        from focused_attention_vit_tpu.ops.mhla_kernel_v4 import (
+            banded_attention_v4,
         )
 
-        out = banded_attention_tpu(q, k, v, w)
+        out = banded_attention_v4(q, k, v, w)
     else:
         out = _shift_banded_attention(q, k, v, w)
 

@@ -184,46 +184,18 @@ class TestWindowedAttention:
                 np.asarray(gf), np.asarray(go), atol=1e-5, rtol=1e-4
             )
 
-    def test_fused_latent_kernel_v2_interpret(self, rng):
-        """v2 fused (latent proj + band) kernel vs oracle on latent-projected
-        K/V, interpreter mode."""
+    def test_opt_in_pallas_path_matches_gather(self, rng):
+        """The FAVIT_USE_PALLAS_MHLA opt-in path (archival v4 tile-band
+        kernel) in interpreter mode vs the gather oracle — interior rows
+        exact; edge rows differ by design (clamp vs reference padding) and
+        are overwritten by the public op."""
         from jax.experimental.pallas import tpu as pltpu
 
-        from focused_attention_vit_tpu.ops.mhla_kernel_v2 import (
-            fused_latent_banded_attention,
+        from focused_attention_vit_tpu.ops.mhla_kernel_v4 import (
+            banded_attention_v4,
         )
         from focused_attention_vit_tpu.ops.window import (
             _gather_windowed_attention,
-        )
-
-        b, h, s, d, w = 1, 4, 300, 16, 5
-        hw = w // 2
-        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
-        k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
-        v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
-        wl = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32)) * 0.1
-        bl = jnp.asarray(rng.normal(size=(d,)).astype(np.float32)) * 0.1
-
-        with pltpu.force_tpu_interpret_mode():
-            out = fused_latent_banded_attention(q, k, v, wl, bl, w)
-        oracle = _gather_windowed_attention(q, k @ wl + bl, v @ wl + bl, w)
-        np.testing.assert_allclose(
-            np.asarray(out)[:, :, hw : s - hw],
-            np.asarray(oracle)[:, :, hw : s - hw],
-            atol=1e-5, rtol=1e-4,
-        )
-
-    def test_pallas_kernel_interpret_matches_gather(self, rng):
-        """Run the Pallas kernel in interpreter mode on CPU and compare the
-        full public op against the gather oracle."""
-        from jax.experimental.pallas import tpu as pltpu
-
-        from focused_attention_vit_tpu.ops.mhla_kernel import (
-            banded_attention_tpu,
-        )
-        from focused_attention_vit_tpu.ops.window import (
-            _gather_windowed_attention,
-            window_index_table,
         )
 
         b, h, s, d, w = 1, 2, 300, 16, 7
@@ -233,10 +205,8 @@ class TestWindowedAttention:
         v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
 
         with pltpu.force_tpu_interpret_mode():
-            banded = banded_attention_tpu(q, k, v, w)
+            banded = banded_attention_v4(q, k, v, w)
         oracle = _gather_windowed_attention(q, k, v, w)
-        # Interior rows are exact; edge rows differ by design (clamp vs
-        # reference padding) and are overwritten by the public op.
         np.testing.assert_allclose(
             np.asarray(banded)[:, :, hw : s - hw],
             np.asarray(oracle)[:, :, hw : s - hw],
