@@ -130,8 +130,20 @@ class MultiHeadAttention(nn.Module):
                     dropout_rate=self.dropout,
                     dropout_rng=self.make_rng("dropout"),
                 )
+            elif seq_len >= attn_ops.FLASH_MIN_SEQ_LEN:
+                # Long-S train-mode dropout: query-chunked weights dropout
+                # (O(S·chunk) memory) instead of materializing the
+                # [B, h, S, S] tensor — at the reference default S=3137
+                # that tensor is ~15 GB f32 at batch 32.
+                from focused_attention_vit_tpu.ops.flash_attention import (
+                    dropout_attention_q_chunked,
+                )
+
+                out = dropout_attention_q_chunked(
+                    q, k, v, self.dropout, self.make_rng("dropout")
+                )
             else:
-                # Materialized-score fallback (CPU tests, long sequences).
+                # Materialized-score fallback (CPU tests, short sequences).
                 d = q.shape[-1]
                 logits = jnp.einsum(
                     "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32

@@ -77,6 +77,62 @@ def _chunked_attention(
     return (acc / l[..., None]).astype(q.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("rate", "chunk"))
+def dropout_attention_q_chunked(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rate: float,
+    rng: jax.Array,
+    chunk: int = 256,
+) -> jnp.ndarray:
+    """Attention with *attention-weight* dropout at long S, computed in
+    query chunks — memory is O(B·h·chunk·S), never the ``[B, h, S, S]``
+    tensor the materialized branch would allocate (at the reference-default
+    S = 3137 that tensor is ~15 GB f32 at batch 32 — an OOM footgun on a
+    reference-surface flag, /root/reference/main.py:108-109 feeding
+    models/vit.py:96-97).
+
+    Per chunk: full-key logits → softmax → inverted dropout (mask drawn
+    from ``fold_in(rng, chunk_index)``) → P·V. Semantics match the
+    materialized branch in distribution (same rate, independent Bernoulli
+    per weight); the mask *realization* differs from ``nn.Dropout`` for the
+    same key because masks are drawn per chunk. ``rate=0`` is exactly dense
+    attention. Differentiable via autodiff; the scan recomputes each
+    chunk's logits in the backward pass (remat) instead of saving them.
+    """
+    if not 0.0 <= rate < 1.0:
+        raise ValueError(f"dropout rate must be in [0, 1), got {rate}")
+    b, h, s, d = q.shape
+    scale = d**-0.5
+    n = -(-s // chunk)
+    pad = n * chunk - s
+    keep = 1.0 - rate
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    qc = qp.reshape(b, h, n, chunk, d).transpose(2, 0, 1, 3, 4)
+
+    def per_chunk(i, qblk):
+        logits = jnp.einsum(
+            "bhcd,bhtd->bhct", qblk, k, preferred_element_type=jnp.float32
+        ) * scale
+        w = jax.nn.softmax(logits, axis=-1)
+        if rate > 0.0:
+            m = jax.random.bernoulli(
+                jax.random.fold_in(rng, i), keep, w.shape
+            )
+            w = jnp.where(m, w / keep, 0.0)
+        return jnp.einsum("bhct,bhtd->bhcd", w.astype(v.dtype), v)
+
+    def step(_, inp):
+        i, qblk = inp
+        return None, jax.checkpoint(per_chunk)(i, qblk)
+
+    _, out = jax.lax.scan(step, None, (jnp.arange(n), qc))
+    out = out.transpose(1, 2, 0, 3, 4).reshape(b, h, n * chunk, d)
+    return out[:, :, :s]
+
+
 def flash_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, chunk: int = DEFAULT_CHUNK
 ) -> jnp.ndarray:

@@ -367,6 +367,110 @@ class TestChunkedAttention:
         )
 
 
+class TestDropoutAttentionChunked:
+    """Long-S attention-weight dropout without the [B,h,S,S] tensor
+    (VERDICT round-2 task 4; reference flag surface
+    /root/reference/main.py:108-109 → models/vit.py:96-97)."""
+
+    def test_rate_zero_is_dense(self, rng):
+        from focused_attention_vit_tpu.ops.flash_attention import (
+            dropout_attention_q_chunked,
+        )
+        from focused_attention_vit_tpu.ops.attention import (
+            scaled_dot_product_attention,
+        )
+
+        b, h, s, d = 1, 2, 300, 16
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        got = dropout_attention_q_chunked(
+            q, k, v, 0.0, jax.random.PRNGKey(0), chunk=128
+        )
+        ref = scaled_dot_product_attention(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
+
+    def test_matches_materialized_same_masks(self, rng):
+        """Exactly equals a materialized softmax-dropout-PV computation that
+        draws the same per-chunk fold_in masks — pins the semantics."""
+        from focused_attention_vit_tpu.ops.flash_attention import (
+            dropout_attention_q_chunked,
+        )
+
+        b, h, s, d, chunk, rate = 1, 2, 200, 8, 64, 0.3
+        key = jax.random.PRNGKey(7)
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+
+        got = dropout_attention_q_chunked(q, k, v, rate, key, chunk=chunk)
+
+        logits = np.einsum(
+            "bhsd,bhtd->bhst", np.asarray(q), np.asarray(k)
+        ) * (d**-0.5)
+        w = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+        n = -(-s // chunk)
+        keep = 1.0 - rate
+        out = np.zeros((b, h, s, d), np.float32)
+        for i in range(n):
+            lo, hi = i * chunk, min((i + 1) * chunk, s)
+            m = np.asarray(jax.random.bernoulli(
+                jax.random.fold_in(key, i), keep, (b, h, chunk, s)
+            ))[:, :, : hi - lo]
+            wi = np.where(m, w[:, :, lo:hi] / keep, 0.0)
+            out[:, :, lo:hi] = np.einsum(
+                "bhct,bhtd->bhcd", wi, np.asarray(v)
+            )
+        np.testing.assert_allclose(np.asarray(got), out, atol=2e-5, rtol=1e-4)
+
+    def test_s3137_dropout_no_s2_tensor_and_runs(self, rng):
+        """At the reference-default S=3137 with attn_dropout=0.1 the module
+        takes the chunked path: the traced program holds no S×S
+        intermediate, and the step executes on CPU."""
+        from focused_attention_vit_tpu.models.layers import MultiHeadAttention
+
+        b, s, dim, heads = 1, 3137, 32, 2
+        m = MultiHeadAttention(embed_dim=dim, num_heads=heads, dropout=0.1)
+        x = jnp.asarray(rng.normal(size=(b, s, dim)).astype(np.float32))
+        params = m.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, deterministic=False,
+        )
+
+        def fwd(p, x):
+            return m.apply(
+                p, x, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(2)},
+            )
+
+        jaxpr = jax.make_jaxpr(fwd)(params, x)
+        assert "3137,3137" not in repr(jaxpr), (
+            "S×S attention tensor materialized at S=3137 with dropout on"
+        )
+        out = jax.jit(fwd)(params, x)
+        assert out.shape == (b, s, dim)
+        assert bool(jnp.isfinite(out).all())
+
+    def test_gradients_flow(self, rng):
+        from focused_attention_vit_tpu.ops.flash_attention import (
+            dropout_attention_q_chunked,
+        )
+
+        b, h, s, d = 1, 1, 130, 8
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        key = jax.random.PRNGKey(3)
+
+        g = jax.grad(lambda q: jnp.sum(
+            dropout_attention_q_chunked(q, k, v, 0.5, key, chunk=64) ** 2
+        ))(q)
+        assert bool(jnp.isfinite(g).all())
+        assert float(jnp.abs(g).max()) > 0.0
+
+
 class TestCentroids:
     def test_matches_reference_loop(self, rng):
         """Masked-mean centroids with (0.5, 0.5) for empty segments
