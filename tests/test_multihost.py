@@ -60,6 +60,112 @@ print("MULTIHOST_OK")
 """
 
 
+MH2_SCRIPT = r"""
+import sys
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from focused_attention_vit_tpu.parallel import (
+    multihost, make_mesh, shard_params, make_sharded_train_step,
+)
+
+multihost.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=nproc,
+    process_id=pid,
+)
+assert jax.process_count() == nproc and jax.process_index() == pid
+assert len(jax.local_devices()) == 2
+assert len(jax.devices()) == 2 * nproc  # global view spans both processes
+
+GLOBAL = 32
+start, size = multihost.host_batch_slice(GLOBAL)
+assert (start, size) == (pid * (GLOBAL // nproc), GLOBAL // nproc)
+
+# Deterministic full dataset; each process feeds ONLY its own slice, so a
+# correct assembly is observable in the shared global loss below.
+full_x = np.arange(GLOBAL * 8 * 8 * 3, dtype=np.uint8).reshape(GLOBAL, 8, 8, 3)
+full_y = (np.arange(GLOBAL) % 4).astype(np.int32)
+
+mesh = make_mesh(len(jax.devices()), tp=1)
+gx = multihost.global_batch_from_host_data(
+    full_x[start:start + size], mesh, P("data"))
+gy = multihost.global_batch_from_host_data(
+    full_y[start:start + size], mesh, P("data"))
+assert gx.shape == (GLOBAL, 8, 8, 3)
+# The addressable shards of the assembled global array must hold exactly
+# the rows this process contributed, at the right global offsets.
+for shard in gx.addressable_shards:
+    rows = shard.index[0]
+    np.testing.assert_array_equal(np.asarray(shard.data), full_x[rows])
+    assert start <= rows.start and rows.stop <= start + size
+
+from focused_attention_vit_tpu.models import VisionTransformer
+import optax
+
+model = VisionTransformer(img_size=8, patch_size=4, num_classes=4,
+                          embed_dim=32, depth=1, num_heads=2)
+params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))["params"]
+params = shard_params(params, mesh)
+tx = optax.adamw(1e-3)
+opt_state = tx.init(params)
+step = make_sharded_train_step(model, tx, mesh, img_size=8, augment=False)
+key = multihost.global_batch_from_host_data(
+    np.asarray(jax.random.PRNGKey(0)), mesh, P())
+params, opt_state, metrics = step(params, opt_state, gx, gy, key)
+print(f"MH2_LOSS {pid} {float(metrics['loss']):.10f}", flush=True)
+"""
+
+
+def test_two_process_distributed_cluster(tmp_path):
+    """Real cross-process array assembly: 2 jax.distributed processes ×
+    2 CPU devices each run ONE sharded step on per-process host data
+    (VERDICT round-2 task 6). Both processes must agree on the global
+    loss, and each assembled shard must hold the contributing process's
+    rows at the right global offsets."""
+    import subprocess as sp
+
+    script = tmp_path / "mh2.py"
+    script.write_text(MH2_SCRIPT)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("JAX_NUM_PROCESSES", None)
+    port = "12397"
+    procs = [
+        sp.Popen(
+            [sys.executable, str(script), str(pid), "2", port],
+            stdout=sp.PIPE, stderr=sp.PIPE, text=True, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except sp.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err[-2000:]
+        outs.append(out)
+    losses = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MH2_LOSS"):
+                _, pid, loss = line.split()
+                losses[int(pid)] = float(loss)
+    assert set(losses) == {0, 1}, f"missing process output: {outs}"
+    assert losses[0] == losses[1], losses
+    import math
+    assert math.isfinite(losses[0])
+
+
 def test_single_process_distributed_cluster(tmp_path):
     script = tmp_path / "mh.py"
     script.write_text(SCRIPT)
