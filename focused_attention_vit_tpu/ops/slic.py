@@ -344,21 +344,42 @@ def _enforce_connectivity(
 
     comp = jax.lax.fori_loop(0, 4, merge_pass, comp)
 
-    # Reduce to ≤ R components (rarely triggered: only when > R survive).
+    # Reduce to ≤ R components — BATCHED: each pass keeps the R largest
+    # live components (strict (size, smaller-id-wins) ranking) and merges
+    # every other component into its min-id 4-adjacent neighbour in one
+    # shot. A small component may merge into a kept one freely; among
+    # small components only "downhill" (target id < own id) merges are
+    # allowed, so merge chains are acyclic and pointer jumping resolves
+    # them in log steps. The largest-id small component always has a legal
+    # target (its min-adjacent is either kept or smaller-id), so every
+    # pass strictly reduces the live count — ~log passes total instead of
+    # the one-merge-per-iteration loop that made connectivity cost 190×
+    # the SPPP pipeline at 224² (VERDICT round-2 task 5).
     def count_of(comp):
         rep = jnp.zeros(p, jnp.int32).at[comp.reshape(-1)].set(1, mode="drop")
         return rep.sum()
+
+    ids = jnp.arange(p, dtype=jnp.int32)
 
     def reduce_cond(comp):
         return count_of(comp) > num_segments
 
     def reduce_body(comp):
         sizes = sizes_of(comp)
+        live = sizes > 0
+        # Unique ranking key: bigger size wins; among equal sizes the
+        # smaller representative id wins (ids are unique per component).
+        key = sizes.astype(jnp.int64) * (p + 1) + (p - ids).astype(jnp.int64)
+        key = jnp.where(live, key, -1)
+        kth = jax.lax.top_k(key, num_segments)[0][num_segments - 1]
+        keep = live & (key >= kth)
         adj = _adjacent_component(comp, big)
-        cost = jnp.where((sizes > 0) & (adj < big), sizes, big)
-        c = jnp.argmin(cost).astype(jnp.int32)
-        ids = jnp.arange(p, dtype=jnp.int32)
-        mapping = jnp.where(ids == c, adj[c].astype(jnp.int32), ids)
+        has_adj = adj < big
+        target = adj.astype(jnp.int32)
+        allowed = has_adj & (keep[jnp.clip(target, 0, p - 1)] | (target < ids))
+        mapping = jnp.where(live & ~keep & allowed, target, ids)
+        for _ in range(17):  # 2^17 > p: full chain resolution
+            mapping = mapping[mapping]
         return mapping[comp]
 
     comp = jax.lax.while_loop(reduce_cond, reduce_body, comp)
