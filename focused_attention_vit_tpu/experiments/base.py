@@ -79,6 +79,10 @@ class ExperimentBase:
     detailed_metrics: bool = True  # AUC + confusion matrix at evaluate()
     compute_dtype: str = "float32"  # 'bfloat16' for MXU-native training
     remat: bool = False  # gradient checkpointing for long-sequence configs
+    # lax.scan over depth (stacked block params) — the scheduling lever for
+    # the S=3137 geometry; random-init experiments only (pretrained loaders
+    # produce loop-form params; convert with layers.stack_block_params).
+    scan_layers: bool = False
     num_devices: Optional[int] = None  # >1 (or -1 = all) trains on a mesh
     tp: int = 1  # 'model' (tensor-parallel) axis size of the mesh
     # Gradient-accumulation chunk inside the jitted step. None = auto
@@ -336,6 +340,7 @@ class ExperimentBase:
                 self.batch_size,
                 self.img_size,
                 self.data["num_classes"],
+                mesh=self.mesh,
             )
             self.metrics["evaluation_detailed"] = det
             np.save(

@@ -309,3 +309,38 @@ def test_microbatch_ignored_under_mesh():
     state, m = step(state, x_u8, y, jax.random.PRNGKey(1))
     assert int(m["count"]) == 16
     assert np.isfinite(float(m["loss_sum"]))
+
+
+def test_detailed_eval_on_mesh_sharded_and_equal():
+    """evaluate_detailed(mesh=...) computes probs DP-sharded over the mesh
+    (VERDICT round-2 task 7): the jitted probs fn emits P('data')-sharded
+    activations, and the detailed metrics equal the un-meshed run."""
+    from focused_attention_vit_tpu.train.loop import (
+        _cached_probs_fn,
+        evaluate_detailed,
+    )
+
+    mesh, model, params, *_ = _setup(tp=1)
+    state = _fresh_state(model, params)
+    rng = np.random.default_rng(3)
+    images = rng.integers(0, 255, size=(40, 16, 16, 3)).astype(np.uint8)
+    labels = rng.integers(0, 5, size=(40,)).astype(np.int32)
+
+    # The mesh-keyed probs fn shards its batch over the data axis.
+    probs_fn = _cached_probs_fn(model, 16, mesh)
+    p = probs_fn(state.params, jnp.asarray(images[:16]))
+    assert p.sharding.is_equivalent_to(
+        NamedSharding(mesh, P("data")), p.ndim
+    ), p.sharding
+
+    det_mesh = evaluate_detailed(
+        state, model, images, labels, 16, 16, 5, mesh=mesh
+    )
+    det_single = evaluate_detailed(state, model, images, labels, 16, 16, 5)
+    assert det_mesh["accuracy"] == det_single["accuracy"]
+    np.testing.assert_allclose(
+        det_mesh["auc_macro_ovr"], det_single["auc_macro_ovr"], rtol=1e-6
+    )
+    np.testing.assert_array_equal(
+        det_mesh["confusion_matrix"], det_single["confusion_matrix"]
+    )
