@@ -90,6 +90,10 @@ def parse_args(argv=None):
     parser.add_argument("--remat", action="store_true",
                         help="Gradient checkpointing per block (for the "
                              "patch-4 / S=3137 geometry at large batch)")
+    parser.add_argument("--scan_layers", action="store_true",
+                        help="lax.scan over depth (stacked block params); "
+                             "shrinks the XLA program 12x for very long "
+                             "sequences (random-init experiments)")
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="Model/pipeline compute dtype (bfloat16 for "
@@ -140,6 +144,7 @@ def _common_kwargs(args):
         detailed_metrics=not args.no_detailed_metrics,
         compute_dtype=args.compute_dtype,
         remat=args.remat,
+        scan_layers=args.scan_layers,
         num_devices=args.num_devices,
         tp=args.tp,
         microbatch=args.microbatch,

@@ -31,6 +31,7 @@ class TraditionalViTExperiment(ExperimentBase):
             attn_dropout=self.attn_dropout,
             embed_dropout=self.embed_dropout,
             remat=self.remat,
+            scan_layers=self.scan_layers,
             dtype=self.jnp_dtype,
         )
 

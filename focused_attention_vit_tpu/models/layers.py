@@ -213,11 +213,38 @@ class MultiHeadLatentAttention(nn.Module):
         k = latent(k)
         v = latent(v)
 
-        if self.dropout > 0.0 and not deterministic:
+        b, h, s, d = q.shape
+        if (
+            self.dropout > 0.0
+            and not deterministic
+            and attention_mask is None
+            and 2 * self.window_size < s <= window_ops.DENSE_BAND_MAX_SEQ
+        ):
+            # Train-mode dropout on the dense band-masked formulation: the
+            # same two MXU matmuls as dense attention (microbatch lever
+            # applies — BASELINE.md round 3), with inverted dropout on the
+            # [B,h,S,S] masked weights. Matches the reference's window-
+            # weight dropout (models/mhla.py:146-147) in rate and
+            # expectation; at the 2·(W//2) edge rows a duplicated key draws
+            # ONE Bernoulli for its merged weight instead of one per
+            # duplicated slot — same mean, negligibly different variance.
+            bias = jnp.asarray(
+                window_ops._band_log_multiplicity(s, self.window_size)
+            )
+            logits = jnp.einsum(
+                "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32
+            ) * (d**-0.5) + bias
+            weights = jax.nn.softmax(logits, axis=-1)
+            weights = nn.Dropout(self.dropout)(
+                weights, deterministic=deterministic
+            )
+            out = jnp.einsum(
+                "bhst,bhtd->bhsd", weights.astype(v.dtype), v
+            )
+        elif self.dropout > 0.0 and not deterministic:
             # Train-mode attention-weight dropout on the [B,h,S,W] window
             # weights (reference: models/mhla.py:146-147) — gather
-            # formulation, only taken when requested.
-            b, h, s, d = q.shape
+            # formulation (masked attention or out-of-band S).
             table = jnp.asarray(
                 window_ops.window_index_table(s, self.window_size)
             )
@@ -505,3 +532,61 @@ class CrossAttentionTransformerBlock(nn.Module):
             name="mlp",
         )(y, deterministic=deterministic)
         return query
+
+
+def scanned_blocks(block_cls, depth: int, remat: bool, name: str,
+                   **block_kwargs):
+    """``lax.scan``-over-depth block stack (``scan_layers`` option).
+
+    Rolls ``depth`` identical transformer blocks into ONE scanned XLA
+    region with stacked params (leading axis = depth) instead of unrolling
+    12 copies of the layer graph. At very long S (reference default
+    patch 4 → S=3137, /root/reference/models/vit.py:33) XLA's scheduling
+    degrades with the size of the live activation set across the unrolled
+    program (BASELINE.md "reference-default geometry"); the scanned form
+    keeps the program 12× smaller.
+
+    Params land under ``{name}/block/...`` with a leading depth axis; use
+    :func:`stack_block_params` to convert a loop-form checkpoint.
+    """
+    inner = (
+        nn.remat(block_cls, static_argnums=(2,)) if remat else block_cls
+    )
+
+    class _Body(nn.Module):
+        @nn.compact
+        def __call__(self, x, deterministic):
+            return inner(**block_kwargs, name="block")(x, deterministic), None
+
+    scan = nn.scan(
+        _Body,
+        variable_axes={"params": 0},
+        split_rngs={"params": True, "dropout": True},
+        in_axes=nn.broadcast,
+        length=depth,
+    )
+    return scan(name=name)
+
+
+def stack_block_params(params: dict, depth: int, prefix: str = "blocks_",
+                       scan_name: str = "blocks") -> dict:
+    """Loop-form params (``blocks_0..blocks_{depth-1}``) → scan-form
+    (``{scan_name}/block`` with a leading depth axis). Inverse:
+    :func:`unstack_block_params`. Non-block entries pass through."""
+    out = {k: v for k, v in params.items()
+           if not k.startswith(prefix) or not k[len(prefix):].isdigit()}
+    blocks = [params[f"{prefix}{i}"] for i in range(depth)]
+    out[scan_name] = {
+        "block": jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+    }
+    return out
+
+
+def unstack_block_params(params: dict, depth: int, prefix: str = "blocks_",
+                         scan_name: str = "blocks") -> dict:
+    """Scan-form params → loop-form (inverse of stack_block_params)."""
+    out = {k: v for k, v in params.items() if k != scan_name}
+    stacked = params[scan_name]["block"]
+    for i in range(depth):
+        out[f"{prefix}{i}"] = jax.tree.map(lambda a: a[i], stacked)
+    return out

@@ -21,6 +21,7 @@ from focused_attention_vit_tpu.models.layers import (
     PatchEmbedding,
     TransformerBlock,
     dense_init,
+    scanned_blocks,
 )
 
 param_init = nn.initializers.normal(stddev=0.02)
@@ -47,6 +48,12 @@ class VisionTransformer(nn.Module):
     # training the reference's default patch-4 geometry (S = 3137) at
     # large batch.
     remat: bool = False
+    # Roll the depth loop into one lax.scan region (stacked block params,
+    # see layers.scanned_blocks). Shrinks the XLA program 12× — the lever
+    # for the very-long-S scheduling wall (BASELINE.md "reference-default
+    # geometry"). Param layout differs from the loop form; convert with
+    # layers.stack_block_params / unstack_block_params.
+    scan_layers: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -70,24 +77,31 @@ class VisionTransformer(nn.Module):
             jnp.float32,
         )
         self.pos_drop = nn.Dropout(self.embed_dropout)
-        block_cls = (
-            nn.remat(TransformerBlock, static_argnums=(2,))
-            if self.remat
-            else TransformerBlock
+        block_kwargs = dict(
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            dropout=self.dropout,
+            attn_dropout=self.attn_dropout,
+            use_flash=self.use_flash,
+            dtype=self.dtype,
         )
-        self.blocks = [
-            block_cls(
-                self.embed_dim,
-                self.num_heads,
-                mlp_ratio=self.mlp_ratio,
-                dropout=self.dropout,
-                attn_dropout=self.attn_dropout,
-                use_flash=self.use_flash,
-                dtype=self.dtype,
-                name=f"blocks_{i}",
+        if self.scan_layers:
+            self.blocks_scan = scanned_blocks(
+                TransformerBlock, self.depth, self.remat, name="blocks",
+                **block_kwargs,
             )
-            for i in range(self.depth)
-        ]
+            self.blocks = None
+        else:
+            block_cls = (
+                nn.remat(TransformerBlock, static_argnums=(2,))
+                if self.remat
+                else TransformerBlock
+            )
+            self.blocks = [
+                block_cls(**block_kwargs, name=f"blocks_{i}")
+                for i in range(self.depth)
+            ]
         self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
         self.head = nn.Dense(
             self.num_classes, kernel_init=dense_init, dtype=self.dtype, name="head"
@@ -105,9 +119,13 @@ class VisionTransformer(nn.Module):
         x = jnp.concatenate([cls, x], axis=1)
         x = x + self.pos_embed.astype(x.dtype)
         x = self.pos_drop(x, deterministic=deterministic)
-        for block in self.blocks:
-            # Positional `deterministic` so nn.remat can treat it as static.
-            x = block(x, deterministic)
+        if self.scan_layers:
+            x, _ = self.blocks_scan(x, deterministic)
+        else:
+            for block in self.blocks:
+                # Positional `deterministic` so nn.remat can treat it as
+                # static.
+                x = block(x, deterministic)
         x = self.norm(x)
         return x[:, 0]
 

@@ -11,6 +11,7 @@ from focused_attention_vit_tpu.models.layers import (
     PatchEmbedding,
     SwitchableTransformerBlock,
     dense_init,
+    scanned_blocks,
 )
 
 param_init = nn.initializers.normal(stddev=0.02)
@@ -36,6 +37,7 @@ class VisionTransformerMHLA(nn.Module):
     use_mhla: bool = False
     use_flash: Optional[bool] = None
     remat: bool = False  # see models/vit.py remat note
+    scan_layers: bool = False  # see models/vit.py scan_layers note
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -59,26 +61,33 @@ class VisionTransformerMHLA(nn.Module):
             jnp.float32,
         )
         self.pos_drop = nn.Dropout(self.embed_dropout)
-        block_cls = (
-            nn.remat(SwitchableTransformerBlock, static_argnums=(2,))
-            if self.remat
-            else SwitchableTransformerBlock
+        block_kwargs = dict(
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            window_size=self.window_size,
+            mlp_ratio=self.mlp_ratio,
+            dropout=self.dropout,
+            attn_dropout=self.attn_dropout,
+            use_mhla=self.use_mhla,
+            use_flash=self.use_flash,
+            dtype=self.dtype,
         )
-        self.blocks = [
-            block_cls(
-                self.embed_dim,
-                self.num_heads,
-                window_size=self.window_size,
-                mlp_ratio=self.mlp_ratio,
-                dropout=self.dropout,
-                attn_dropout=self.attn_dropout,
-                use_mhla=self.use_mhla,
-                use_flash=self.use_flash,
-                dtype=self.dtype,
-                name=f"blocks_{i}",
+        if self.scan_layers:
+            self.blocks_scan = scanned_blocks(
+                SwitchableTransformerBlock, self.depth, self.remat,
+                name="blocks", **block_kwargs,
             )
-            for i in range(self.depth)
-        ]
+            self.blocks = None
+        else:
+            block_cls = (
+                nn.remat(SwitchableTransformerBlock, static_argnums=(2,))
+                if self.remat
+                else SwitchableTransformerBlock
+            )
+            self.blocks = [
+                block_cls(**block_kwargs, name=f"blocks_{i}")
+                for i in range(self.depth)
+            ]
         self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
         self.head = nn.Dense(
             self.num_classes, kernel_init=dense_init, dtype=self.dtype, name="head"
@@ -95,8 +104,11 @@ class VisionTransformerMHLA(nn.Module):
         x = jnp.concatenate([cls, x], axis=1)
         x = x + self.pos_embed.astype(x.dtype)
         x = self.pos_drop(x, deterministic=deterministic)
-        for block in self.blocks:
-            x = block(x, deterministic)  # positional for nn.remat
+        if self.scan_layers:
+            x, _ = self.blocks_scan(x, deterministic)
+        else:
+            for block in self.blocks:
+                x = block(x, deterministic)  # positional for nn.remat
         x = self.norm(x)
         return x[:, 0]
 

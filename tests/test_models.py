@@ -130,3 +130,75 @@ def test_dropout_training_mode_differs():
     e1 = model.apply(variables, x)
     e2 = model.apply(variables, x)
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_mhla_dense_band_dropout_expectation():
+    """The train-mode dense band-masked dropout branch (short S) is
+    unbiased: averaging over many dropout keys approaches the eval-mode
+    attention output (inverted dropout preserves expectation; VERDICT
+    round-2 task 3 formulation change)."""
+    from focused_attention_vit_tpu.models.layers import (
+        MultiHeadLatentAttention,
+    )
+
+    rng = np.random.default_rng(5)
+    b, s, dim, heads, w = 1, 40, 16, 2, 5
+    m = MultiHeadLatentAttention(
+        embed_dim=dim, num_heads=heads, window_size=w, dropout=0.25
+    )
+    x = jnp.asarray(rng.normal(size=(b, s, dim)).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), x)
+
+    eval_out = m.apply(variables, x, deterministic=True)
+
+    def one(key):
+        return m.apply(
+            variables, x, deterministic=False, rngs={"dropout": key}
+        )
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 512)
+    mean_out = jnp.mean(jax.vmap(one)(keys), axis=0)
+    # Attention-weight + output dropout are both inverted, so the mean
+    # converges to the eval output; 512 samples → loose tolerance.
+    np.testing.assert_allclose(
+        np.asarray(mean_out), np.asarray(eval_out), atol=0.15, rtol=0.25
+    )
+
+
+@pytest.mark.parametrize("make", [
+    lambda **kw: fmodels.VisionTransformer(**TINY, **kw),
+    lambda **kw: fmodels.VisionTransformerMHLA(
+        **TINY, window_size=5, use_mhla=True, **kw
+    ),
+], ids=["vit", "vit_mhla"])
+def test_scan_layers_matches_loop(make):
+    """scan_layers=True (lax.scan over depth, stacked params) produces the
+    SAME logits as the unrolled loop given stack_block_params-converted
+    weights — the S=3137 scheduling-wall lever is numerically free."""
+    from focused_attention_vit_tpu.models.layers import (
+        stack_block_params,
+        unstack_block_params,
+    )
+
+    loop_model = make()
+    scan_model = make(scan_layers=True)
+    x = _images()
+    params = loop_model.init(jax.random.PRNGKey(0), x)["params"]
+    stacked = stack_block_params(params, TINY["depth"])
+
+    out_loop = loop_model.apply({"params": params}, x)
+    out_scan = scan_model.apply({"params": stacked}, x)
+    np.testing.assert_allclose(
+        np.asarray(out_scan), np.asarray(out_loop), atol=1e-5, rtol=1e-5
+    )
+
+    # Round-trip converter.
+    back = unstack_block_params(stacked, TINY["depth"])
+    for a, b_ in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    # scan-form init has the stacked layout (leading depth axis).
+    init_scan = scan_model.init(jax.random.PRNGKey(0), x)["params"]
+    assert "blocks" in init_scan and "block" in init_scan["blocks"]
+    leaf = jax.tree.leaves(init_scan["blocks"]["block"])[0]
+    assert leaf.shape[0] == TINY["depth"]
