@@ -190,6 +190,24 @@ def main():
         224,
         microbatch=0,
     )
+    # Reference-default geometry (patch 4 → S=3137, models/vit.py:33,202):
+    # the paper-thesis metric, tracked automatically (VERDICT round-2
+    # task 8). Batch 32 + remat as in BASELINE.md "reference-default
+    # geometry"; ~2 extra compiles — disable with BENCH_S3137=0 if the
+    # time budget is tight.
+    s3137 = {}
+    if os.environ.get("BENCH_S3137", "1") == "1":
+        b4 = dict(common, patch_size=4, remat=True)
+        s3137["s3137_dense_images_per_sec_fwd_bwd"] = round(
+            bench_train(VisionTransformer(**b4), 32, 224, microbatch=0), 2
+        )
+        s3137["s3137_mhla_images_per_sec_fwd_bwd"] = round(
+            bench_train(
+                VisionTransformerMHLA(**b4, window_size=7, use_mhla=True),
+                32, 224, microbatch=0,
+            ), 2
+        )
+
     eval_p50, eval_steady = bench_eval_latency(vit, batch, 224, chunk=EVAL_CHUNK)
     eval_p50_b8, eval_steady_b8 = bench_eval_latency(vit, 8, 224)
     eval_p50_b1, eval_steady_b1 = bench_eval_latency(vit, 1, 224)
@@ -217,6 +235,7 @@ def main():
             "batch": batch,
             "microbatch": MICROBATCH,
             "compute_dtype": "bfloat16",
+            **s3137,
         },
     }
     print(json.dumps(result))
