@@ -112,6 +112,125 @@ def _gather_windowed_attention(
     return jnp.einsum("bhsw,bhswd->bhsd", weights, v_win)
 
 
+@functools.lru_cache(maxsize=32)
+def _band_log_multiplicity(seq_len: int, window_size: int) -> np.ndarray:
+    """Static ``[S, S]`` additive logit bias encoding the window rule.
+
+    A softmax over the W window slots in which key ``j`` appears with
+    multiplicity ``m_ij`` (the duplicated edge keys, models/mhla.py:72-79)
+    equals a dense softmax over keys with ``log(m_ij)`` added to the
+    logit — both the normalizer and the weighted value sum pick up the
+    factor ``m_ij·e^{l_j}``. Keys outside the window get ``-inf``. This
+    turns the *exact* reference window semantics (edges included) into two
+    dense MXU matmuls plus one static bias add.
+    """
+    table = window_index_table(seq_len, window_size)  # [S, W]
+    counts = np.zeros((seq_len, seq_len), np.float32)
+    rows = np.repeat(np.arange(seq_len), window_size)
+    np.add.at(counts, (rows, table.reshape(-1)), 1.0)
+    with np.errstate(divide="ignore"):
+        bias = np.log(counts, where=counts > 0)
+    bias[counts == 0] = -np.inf
+    return bias.astype(np.float32)
+
+
+# Below this sequence length the dense band-masked formulation wins on TPU:
+# its S×S logits are a single MXU matmul (vs 7 shifted VPU passes reading
+# K/V W times) and its working set matches dense attention's, so the
+# microbatch gradient-accumulation lever applies (BASELINE.md "working-set
+# effect"). Above it, S² cost overtakes the O(S·W) shift path.
+DENSE_BAND_MAX_SEQ = 512
+
+
+def _dense_band_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, window_size: int
+) -> jnp.ndarray:
+    """Exact windowed attention as dense masked attention (short S).
+
+    Matches the gather oracle bit-for-bit in semantics — including the
+    duplicated-edge-key softmax multiplicity — via the log-multiplicity
+    bias; no separate edge-row fix-up needed.
+    """
+    b, h, s, d = q.shape
+    bias = jnp.asarray(_band_log_multiplicity(s, window_size))
+    logits = jnp.einsum(
+        "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32
+    ) * (d**-0.5) + bias
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhst,bhtd->bhsd", weights, v)
+
+
+@functools.lru_cache(maxsize=32)
+def _blocked_band_bias(seq_len: int, window_size: int, block: int,
+                       halo: int) -> np.ndarray:
+    """Static ``[n_tiles, T, T+2·halo]`` bias: the ``[S, S]`` log-
+    multiplicity matrix cut into query tiles with key halo; out-of-range
+    keys (beyond the sequence) are ``-inf``."""
+    full = _band_log_multiplicity(seq_len, window_size)  # [S, S]
+    n = -(-seq_len // block)
+    ext = block + 2 * halo
+    out = np.full((n, block, ext), -np.inf, np.float32)
+    for i in range(n):
+        q0 = i * block
+        rows = slice(q0, min(q0 + block, seq_len))
+        k0 = q0 - halo
+        klo, khi = max(0, k0), min(seq_len, k0 + ext)
+        out[i, : rows.stop - q0, klo - k0 : khi - k0] = full[rows, klo:khi]
+        # Padded query rows (beyond S in the last tile) must not softmax
+        # over an all--inf row: NaN weights there would poison dk/dv in
+        # the backward pass even though the rows themselves are sliced
+        # off. Pin them to key slot 0 (finite; zero cotangent → zero
+        # gradient contribution).
+        out[i, rows.stop - q0 :, 0] = 0.0
+    return out
+
+
+def _blocked_band_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, window_size: int,
+    block: "int | None" = None,
+) -> jnp.ndarray:
+    """Exact windowed attention as *blocked* dense attention on the MXU.
+
+    Query tiles of T rows attend their ``[iT-halo, iT+T+halo)`` key slab
+    (halo = W//2), so logits are ``n`` batched ``[T, T+2·halo]`` matmuls —
+    the tile-band formulation of ops/mhla_kernel_v4 expressed in XLA,
+    where Mosaic's alignment rules can't interfere. The static per-tile
+    log-multiplicity bias (see :func:`_band_log_multiplicity`) reproduces
+    the reference's duplicated-edge-key softmax semantics exactly, edges
+    included. Work is O(S·(T+2·halo)·d) ≈ O(S·T·d) instead of dense
+    O(S²·d); K/V are read ~(1+2·halo/T)× instead of the shift path's W×.
+    """
+    b, h, s, d = q.shape
+    hw = window_size // 2
+    if block is None:
+        block = int(os.environ.get("FAVIT_MHLA_BLOCK", "64"))
+    t = min(block, -(-s // 8) * 8)
+    n = -(-s // t)
+    sp = n * t
+    ext = t + 2 * hw
+
+    bias = jnp.asarray(_blocked_band_bias(s, window_size, t, hw))
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sp - s), (0, 0)))
+    qt = qp.reshape(b, h, n, t, d)
+    # Key/value slabs per tile: rows [iT-halo, iT+T+halo) of the padded
+    # sequence — one static gather builds [n, ext] row indices.
+    kp = jnp.pad(k, ((0, 0), (0, 0), (hw, sp - s + hw), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (hw, sp - s + hw), (0, 0)))
+    rows = (
+        np.arange(n, dtype=np.int32)[:, None] * t
+        + np.arange(ext, dtype=np.int32)[None, :]
+    )
+    kt = jnp.take(kp, jnp.asarray(rows), axis=2)  # [B, h, n, ext, d]
+    vt = jnp.take(vp, jnp.asarray(rows), axis=2)
+
+    logits = jnp.einsum(
+        "bhntd,bhned->bhnte", qt, kt, preferred_element_type=jnp.float32
+    ) * (d**-0.5) + bias
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhnte,bhned->bhntd", weights, vt)
+    return out.reshape(b, h, sp, d)[:, :, :s]
+
+
 def _shift_banded_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, window_size: int
 ) -> jnp.ndarray:
@@ -191,6 +310,13 @@ def windowed_latent_attention(
     if attention_mask is not None or s <= 2 * w:
         return _gather_windowed_attention(q, k, v, w, attention_mask)
 
+    impl = os.environ.get("FAVIT_MHLA_IMPL", "auto")
+    if impl == "densefull":
+        # Full dense S×S with the log-multiplicity bias — exact including
+        # edges, no overwrite needed. Measured slower than blocked tiles
+        # at S=197 (BASELINE.md round 3); kept for A/B.
+        return _dense_band_attention(q, k, v, w)
+
     use_pallas = (
         jax.default_backend() == "tpu"
         and os.environ.get("FAVIT_USE_PALLAS_MHLA", "0") == "1"
@@ -209,6 +335,12 @@ def windowed_latent_attention(
         )
 
         out = banded_attention_v4(q, k, v, w)
+    elif impl == "blocked" or (impl == "auto" and s <= DENSE_BAND_MAX_SEQ):
+        # Short S: blocked tile-band on the MXU (interior rows exact via
+        # the per-tile log-multiplicity bias; the 2·hw global-edge rows —
+        # whose windows duplicate keys S-1/0 from outside the tile slab —
+        # are overwritten below like the shift path's).
+        out = _blocked_band_attention(q, k, v, w)
     else:
         out = _shift_banded_attention(q, k, v, w)
 

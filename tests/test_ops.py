@@ -159,6 +159,95 @@ class TestWindowedAttention:
             np.asarray(fast), np.asarray(oracle), atol=1e-5, rtol=1e-5
         )
 
+    @pytest.mark.parametrize("s,w", [(40, 7), (33, 5), (100, 3), (64, 4),
+                                     (197, 7)])
+    def test_dense_band_matches_gather(self, rng, s, w):
+        """The short-S dense band-masked formulation (log-multiplicity bias
+        for the duplicated-edge-key softmax semantics) vs the gather oracle
+        — edge rows included, no overwrite."""
+        from focused_attention_vit_tpu.ops.window import (
+            _dense_band_attention,
+            _gather_windowed_attention,
+        )
+
+        b, h, d = 2, 3, 16
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        got = _dense_band_attention(q, k, v, w)
+        oracle = _gather_windowed_attention(q, k, v, w)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(oracle), atol=1e-5, rtol=1e-5
+        )
+
+    @pytest.mark.parametrize("s,w", [(40, 7), (33, 5), (100, 3), (64, 4),
+                                     (197, 7), (70, 7)])
+    @pytest.mark.parametrize("block", [16, 64])
+    def test_blocked_band_matches_gather(self, rng, s, w, block,
+                                         monkeypatch):
+        """Blocked tile-band formulation (per-tile log-multiplicity bias,
+        MXU matmuls): interior rows exact vs the oracle directly; full
+        equality (incl. the duplicated-edge-key rows) through the public
+        op with the edge overwrite, fwd and grads; ragged last tile
+        included."""
+        import focused_attention_vit_tpu.ops.window as W
+
+        hw = w // 2
+        b, h, d = 2, 3, 16
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        oracle = W._gather_windowed_attention(q, k, v, w)
+
+        got = W._blocked_band_attention(q, k, v, w, block=block)
+        np.testing.assert_allclose(
+            np.asarray(got)[:, :, hw : s - hw],
+            np.asarray(oracle)[:, :, hw : s - hw],
+            atol=1e-5, rtol=1e-5,
+        )
+
+        monkeypatch.setenv("FAVIT_MHLA_IMPL", "blocked")
+        full = W.windowed_latent_attention(q, k, v, w)
+        np.testing.assert_allclose(
+            np.asarray(full), np.asarray(oracle), atol=1e-5, rtol=1e-5
+        )
+
+        cot = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        g1 = jax.grad(lambda q, k, v: jnp.sum(
+            W.windowed_latent_attention(q, k, v, w) * cot
+        ), argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(lambda q, k, v: jnp.sum(
+            W._gather_windowed_attention(q, k, v, w) * cot
+        ), argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g1, g2):
+            assert bool(jnp.isfinite(a).all())
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-4
+            )
+
+    @pytest.mark.parametrize("s,w", [(40, 7), (100, 3), (64, 4)])
+    def test_shift_path_matches_gather(self, rng, s, w):
+        """The long-S production path (shift-banded + exact edge-row
+        overwrite) vs the oracle — exercised explicitly now that short S
+        dispatches to the dense band formulation."""
+        import focused_attention_vit_tpu.ops.window as W
+
+        b, h, d = 2, 3, 16
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        oracle = W._gather_windowed_attention(q, k, v, w)
+        try:
+            # Force the shift path by dropping the dense-band threshold.
+            orig = W.DENSE_BAND_MAX_SEQ
+            W.DENSE_BAND_MAX_SEQ = 0
+            fast = W.windowed_latent_attention(q, k, v, w)
+        finally:
+            W.DENSE_BAND_MAX_SEQ = orig
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(oracle), atol=1e-5, rtol=1e-5
+        )
+
     def test_gradients_match_gather(self, rng):
         from focused_attention_vit_tpu.ops.window import (
             windowed_latent_attention,
