@@ -170,13 +170,13 @@ def main():
     flops_img = vit_matmul_flops_per_image(224, 16, 768, 12, 12)
     mfu = vit_ips * 3.0 * flops_img / (V5E_PEAK_BF16_TFLOPS * 1e12)
 
-    # Microbatch chunking only wins for the dense-attention ViT (S² working
-    # set); windowed-MHLA and SPPP run monolithic (see BASELINE.md roofline).
+    # MHLA at short S runs the dense band-masked formulation (same working
+    # set as dense attention), so the microbatch lever applies to it too
+    # (BASELINE.md round 3); SPPP stays monolithic.
     mhla_ips = bench_train(
         VisionTransformerMHLA(**common, window_size=7, use_mhla=True),
         batch,
         224,
-        microbatch=0,
     )
     # SPPP at its reference defaults (patch 4, R=16 → 17 tokens): the cost
     # is SLIC + patch embed + pooling, with tiny attention.

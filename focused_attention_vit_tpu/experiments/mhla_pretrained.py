@@ -24,7 +24,10 @@ class PretrainedMHLAViTExperiment(PretrainedMixin, ExperimentBase):
     window_size: int = 7
     model_display_name: str = "Pretrained ViT + MHLA"
     csv_filename: str = "exp4_pretrained_mhla.csv"
-    auto_microbatch: "int | None" = None  # windowed-MHLA/SPPP: chunking hurts (see base)
+    # Round 3: MHLA at S=197 runs the dense band-masked formulation, which
+    # has dense attention's working set — the microbatch lever applies
+    # again (977 vs 715 img/s on the flagship, BASELINE.md round 3).
+    auto_microbatch: "int | None" = 16
 
     def build_model(self):
         return VisionTransformerMHLA(

@@ -311,10 +311,14 @@ def windowed_latent_attention(
         return _gather_windowed_attention(q, k, v, w, attention_mask)
 
     impl = os.environ.get("FAVIT_MHLA_IMPL", "auto")
-    if impl == "densefull":
-        # Full dense S×S with the log-multiplicity bias — exact including
-        # edges, no overwrite needed. Measured slower than blocked tiles
-        # at S=197 (BASELINE.md round 3); kept for A/B.
+    if impl == "densefull" or (impl == "auto" and s <= DENSE_BAND_MAX_SEQ):
+        # Short S: full dense S×S with the log-multiplicity bias — exact
+        # including edges, no overwrite needed. Attention is ~1.4% of the
+        # step FLOPs at S=197, so the O(S·W) band saves nothing that
+        # matters; what matters is the dense working-set shape, which
+        # restores the microbatch scheduling lever (BASELINE.md round 3:
+        # densefull+mb16 771 vs shift 507 same-process; blocked tiles lose
+        # — their [T,d]·[d,T+2hw] matmuls are too small for the MXU).
         return _dense_band_attention(q, k, v, w)
 
     use_pallas = (
@@ -335,11 +339,12 @@ def windowed_latent_attention(
         )
 
         out = banded_attention_v4(q, k, v, w)
-    elif impl == "blocked" or (impl == "auto" and s <= DENSE_BAND_MAX_SEQ):
-        # Short S: blocked tile-band on the MXU (interior rows exact via
+    elif impl == "blocked":
+        # A/B path: blocked tile-band on the MXU (interior rows exact via
         # the per-tile log-multiplicity bias; the 2·hw global-edge rows —
         # whose windows duplicate keys S-1/0 from outside the tile slab —
-        # are overwritten below like the shift path's).
+        # are overwritten below like the shift path's). Measured slower
+        # than both densefull (short S) and shift (long S) on v5e.
         out = _blocked_band_attention(q, k, v, w)
     else:
         out = _shift_banded_attention(q, k, v, w)
