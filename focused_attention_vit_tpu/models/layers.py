@@ -203,13 +203,40 @@ class MultiHeadLatentAttention(nn.Module):
             dtype=self.dtype,
             name="qkv",
         )(x)
-        q, k, v = attn_ops.qkv_split_heads(qkv)  # [B, h, S, d]
         latent = nn.Dense(
             self.embed_dim // self.num_heads,
             kernel_init=dense_init,
             dtype=self.dtype,
             name="latent_proj",
         )
+
+        seq_len = x.shape[1]
+        if (
+            attention_mask is None
+            and seq_len > window_ops.DENSE_BAND_MAX_SEQ
+            and (self.dropout == 0.0 or deterministic)
+        ):
+            # Long-S production path: stay in the qkv matmul's natural
+            # [B, S, h, d] layout end-to-end — the [3,B,h,S,d] head
+            # transposes cost more than the band math at S=3137
+            # (BASELINE.md round-3 bisect). nn.Dense contracts the minor
+            # d axis, so latent_proj params are layout-independent.
+            q_n, k_n, v_n = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            k_n = latent(k_n)
+            v_n = latent(v_n)
+            out = window_ops.windowed_latent_attention_nsh(
+                q_n, k_n, v_n, self.window_size
+            )
+            out = nn.DenseGeneral(
+                self.embed_dim,
+                axis=(-2, -1),
+                kernel_init=dense_init,
+                dtype=self.dtype,
+                name="proj",
+            )(out)
+            return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+        q, k, v = attn_ops.qkv_split_heads(qkv)  # [B, h, S, d]
         k = latent(k)
         v = latent(v)
 

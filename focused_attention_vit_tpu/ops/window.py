@@ -275,6 +275,127 @@ def _shift_banded_attention(
     return out.astype(q.dtype)
 
 
+def _shift_banded_attention_nsh(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, window_size: int
+) -> jnp.ndarray:
+    """Shift-banded attention in the transpose-free ``[B, S, h, d]``
+    layout (minor-head).
+
+    At very long S (reference default S=3137) the ``[B,S,3,h,d] →
+    [3,B,h,S,d]`` head transposes around attention cost more than the
+    band math itself (~240 ms/step at ViT-B/4 b32, BASELINE.md round-3
+    bisect). Every op here keeps the natural qkv-matmul layout: the W
+    shifted multiply-reduces contract the minor ``d`` axis, the softmax
+    runs over the stacked offset axis, and the output is already in the
+    ``[B, S, h, d]`` shape the head-merging output projection consumes.
+    Clamp semantics (edge-replicated pad); the caller overwrites the
+    first/last W//2 rows with the exact duplicated-edge-key windows.
+    """
+    b, s, h, d = q.shape
+    w = window_size
+    hw = w // 2
+    qf = q.astype(jnp.float32)
+
+    kp = jnp.pad(k, ((0, 0), (hw, w - 1 - hw), (0, 0), (0, 0)), mode="edge")
+    vp = jnp.pad(v, ((0, 0), (hw, w - 1 - hw), (0, 0), (0, 0)), mode="edge")
+
+    logits = jnp.stack(
+        [
+            (qf * jax.lax.dynamic_slice_in_dim(kp, o, s, axis=1)
+             .astype(jnp.float32)).sum(-1)
+            for o in range(w)
+        ],
+        axis=-1,
+    ) * (d**-0.5)  # [B, S, h, W]
+
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = sum(
+        weights[..., o][..., None]
+        * jax.lax.dynamic_slice_in_dim(vp, o, s, axis=1).astype(jnp.float32)
+        for o in range(w)
+    )
+    return out.astype(q.dtype)
+
+
+def windowed_latent_attention_nsh(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    window_size: int,
+) -> jnp.ndarray:
+    """Window-local attention on ``[B, S, h, d]`` tensors (minor-head,
+    transpose-free — the long-S production layout; see
+    :func:`_shift_banded_attention_nsh`). Numerics match
+    :func:`windowed_latent_attention` exactly, including the
+    duplicated-edge-key softmax multiplicity on the first/last W//2 rows.
+    """
+    b, s, h, d = q.shape
+    w = window_size
+    hw = w // 2
+
+    if s <= 2 * w:
+        out = _gather_windowed_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), w,
+        )
+        return out.transpose(0, 2, 1, 3)
+
+    out = _shift_banded_attention_nsh(q, k, v, w)
+    if hw == 0:
+        return out
+
+    # Exact edge rows (reference pads left-edge windows with key S-1 and
+    # right-edge windows with key 0, models/mhla.py:72-79). Cost
+    # discipline (BASELINE.md round-3 bisect: the naive version cost
+    # ~400 ms/step at S=3137 b32):
+    #  * keys are gathered from a tiny (W+1)-row SLAB built by contiguous
+    #    slices (left edge only references keys < W plus key S-1; right
+    #    edge only keys ≥ S-W plus key 0), so the backward pass is a tiny
+    #    scatter plus contiguous pad-adds — never a full-K scatter;
+    #  * results land via contiguous dynamic_update_slices, not a
+    #    fancy-index scatter.
+    table = window_index_table(s, w)  # [S, W]
+
+    def edge_rows(row_lo: int, slab_k: jnp.ndarray, slab_v: jnp.ndarray,
+                  slab_idx: np.ndarray) -> jnp.ndarray:
+        q_e = jax.lax.slice_in_dim(q, row_lo, row_lo + hw, axis=1)
+        k_e = jnp.take(slab_k, jnp.asarray(slab_idx), axis=1)
+        v_e = jnp.take(slab_v, jnp.asarray(slab_idx), axis=1)
+        logits = jnp.einsum(
+            "behd,bewhd->behw", q_e, k_e, preferred_element_type=jnp.float32
+        ) * (d**-0.5)
+        weights = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum(
+            "behw,bewhd->behd", weights.astype(v.dtype), v_e
+        ).astype(out.dtype)
+
+    # Left edge: slab rows = keys [0, W) ++ key S-1; table values < W map
+    # to themselves, S-1 maps to slot W.
+    lk = jnp.concatenate(
+        [jax.lax.slice_in_dim(k, 0, w, axis=1),
+         jax.lax.slice_in_dim(k, s - 1, s, axis=1)], axis=1)
+    lv = jnp.concatenate(
+        [jax.lax.slice_in_dim(v, 0, w, axis=1),
+         jax.lax.slice_in_dim(v, s - 1, s, axis=1)], axis=1)
+    lidx = np.where(table[:hw] < w, table[:hw], w).astype(np.int32)
+    left = edge_rows(0, lk, lv, lidx)
+
+    # Right edge: slab rows = key 0 ++ keys [S-W, S); key 0 → slot 0,
+    # key t ≥ S-W → slot t-(S-W)+1.
+    rk = jnp.concatenate(
+        [jax.lax.slice_in_dim(k, 0, 1, axis=1),
+         jax.lax.slice_in_dim(k, s - w, s, axis=1)], axis=1)
+    rv = jnp.concatenate(
+        [jax.lax.slice_in_dim(v, 0, 1, axis=1),
+         jax.lax.slice_in_dim(v, s - w, s, axis=1)], axis=1)
+    rtab = table[s - hw:]
+    ridx = np.where(rtab == 0, 0, rtab - (s - w) + 1).astype(np.int32)
+    right = edge_rows(s - hw, rk, rv, ridx)
+
+    out = jax.lax.dynamic_update_slice_in_dim(out, left, 0, axis=1)
+    return jax.lax.dynamic_update_slice_in_dim(out, right, s - hw, axis=1)
+
+
 def windowed_latent_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -225,6 +225,43 @@ class TestWindowedAttention:
                 np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-4
             )
 
+    @pytest.mark.parametrize("s,w", [(40, 7), (33, 5), (100, 3), (64, 4),
+                                     (197, 7), (9, 7)])
+    def test_nsh_layout_matches_gather(self, rng, s, w):
+        """The transpose-free [B,S,h,d] (minor-head) path — fwd and grads
+        ≡ the gather oracle after layout conversion (the long-S production
+        layout, BASELINE.md round-3 bisect)."""
+        from focused_attention_vit_tpu.ops.window import (
+            windowed_latent_attention_nsh,
+            _gather_windowed_attention,
+        )
+
+        b, h, d = 2, 3, 16
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        oracle = _gather_windowed_attention(q, k, v, w)
+
+        to_nsh = lambda t: t.transpose(0, 2, 1, 3)
+        got = to_nsh(windowed_latent_attention_nsh(
+            to_nsh(q), to_nsh(k), to_nsh(v), w
+        ))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(oracle), atol=1e-5, rtol=1e-5
+        )
+
+        cot = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        g1 = jax.grad(lambda q, k, v: jnp.sum(to_nsh(
+            windowed_latent_attention_nsh(to_nsh(q), to_nsh(k), to_nsh(v), w)
+        ) * cot), argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(lambda q, k, v: jnp.sum(
+            _gather_windowed_attention(q, k, v, w) * cot
+        ), argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-4
+            )
+
     @pytest.mark.parametrize("s,w", [(40, 7), (100, 3), (64, 4)])
     def test_shift_path_matches_gather(self, rng, s, w):
         """The long-S production path (shift-banded + exact edge-row
