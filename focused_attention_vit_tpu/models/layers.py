@@ -210,17 +210,16 @@ class MultiHeadLatentAttention(nn.Module):
             name="latent_proj",
         )
 
-        seq_len = x.shape[1]
         if (
             attention_mask is None
-            and seq_len > window_ops.DENSE_BAND_MAX_SEQ
+            and x.shape[1] > window_ops.DENSE_BAND_MAX_SEQ
             and (self.dropout == 0.0 or deterministic)
+            and os.environ.get("FAVIT_MHLA_NSH", "0") == "1"
         ):
-            # Long-S production path: stay in the qkv matmul's natural
-            # [B, S, h, d] layout end-to-end — the [3,B,h,S,d] head
-            # transposes cost more than the band math at S=3137
-            # (BASELINE.md round-3 bisect). nn.Dense contracts the minor
-            # d axis, so latent_proj params are layout-independent.
+            # A/B path (opt-in): the qkv matmul's natural [B, S, h, d]
+            # layout end-to-end. Measured at S=3137: saves ~55 ms of head
+            # transposes but the [B,S,h,W] band ops are worse minor-dim
+            # shapes — net loss vs BHSD (BASELINE.md round-3 bisect).
             q_n, k_n, v_n = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             k_n = latent(k_n)
             v_n = latent(v_n)

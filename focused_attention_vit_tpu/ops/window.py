@@ -204,7 +204,9 @@ def _blocked_band_attention(
     hw = window_size // 2
     if block is None:
         block = int(os.environ.get("FAVIT_MHLA_BLOCK", "64"))
-    t = min(block, -(-s // 8) * 8)
+    # t multiple of 8, ≥ 2·halo (the slab construction slices 2·halo rows
+    # out of the next tile), ≤ padded S.
+    t = max(-(-2 * hw // 8) * 8, min(block, -(-s // 8) * 8))
     n = -(-s // t)
     sp = n * t
     ext = t + 2 * hw
@@ -212,16 +214,25 @@ def _blocked_band_attention(
     bias = jnp.asarray(_blocked_band_bias(s, window_size, t, hw))
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, sp - s), (0, 0)))
     qt = qp.reshape(b, h, n, t, d)
+
     # Key/value slabs per tile: rows [iT-halo, iT+T+halo) of the padded
-    # sequence — one static gather builds [n, ext] row indices.
-    kp = jnp.pad(k, ((0, 0), (0, 0), (hw, sp - s + hw), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (hw, sp - s + hw), (0, 0)))
-    rows = (
-        np.arange(n, dtype=np.int32)[:, None] * t
-        + np.arange(ext, dtype=np.int32)[None, :]
-    )
-    kt = jnp.take(kp, jnp.asarray(rows), axis=2)  # [B, h, n, ext, d]
-    vt = jnp.take(vp, jnp.asarray(rows), axis=2)
+    # sequence, built from PURE reshapes/slices/concat so the backward
+    # pass is contiguous pad-adds — a gather here would scatter-add into
+    # the full K/V in the backward pass (the cost that sank the take-based
+    # version, BASELINE.md round-3 bisect). With P = pad(k) of length
+    # sp + t (left pad halo):
+    #   slab_i = P[iT : iT+T+2·halo]
+    #          = P[0:sp].reshape(n,T)[i]  ++  P[T:T+sp].reshape(n,T)[i,:2h]
+    def window_slabs(x):
+        p_ = jnp.pad(x, ((0, 0), (0, 0), (hw, sp + t - hw - s), (0, 0)))
+        core = jax.lax.slice_in_dim(p_, 0, sp, axis=2).reshape(b, h, n, t, d)
+        nxt = jax.lax.slice_in_dim(p_, t, t + sp, axis=2).reshape(
+            b, h, n, t, d
+        )[:, :, :, : 2 * hw]
+        return jnp.concatenate([core, nxt], axis=3)  # [B, h, n, ext, d]
+
+    kt = window_slabs(k)
+    vt = window_slabs(v)
 
     logits = jnp.einsum(
         "bhntd,bhned->bhnte", qt, kt, preferred_element_type=jnp.float32
@@ -475,23 +486,45 @@ def windowed_latent_attention(
 
     # Exact edge rows (first/last hw): the reference pads left-edge windows
     # with key S-1 and right-edge windows with key 0 (models/mhla.py:72-79),
-    # whereas the banded path clamps. Recompute those 2·hw rows exactly.
-    edge_idx = np.concatenate(
-        [np.arange(hw), np.arange(s - hw, s)]
-    ).astype(np.int32)
-    table = window_index_table(s, w)[edge_idx]  # [2hw, W]
+    # whereas the banded path clamps. Recompute those 2·hw rows exactly —
+    # gathering from tiny (W+1)-row slabs built by contiguous slices so the
+    # backward pass never scatter-adds into the full K/V (the naive
+    # edge fix cost ~400 ms/step at S=3137 b32, BASELINE.md round-3
+    # bisect), and writing back via contiguous dynamic_update_slices.
+    table = window_index_table(s, w)
 
-    q_e = q[:, :, edge_idx]  # [B, h, 2hw, d]
-    k_e = jnp.take(k, jnp.asarray(table), axis=2)  # [B, h, 2hw, W, d]
-    v_e = jnp.take(v, jnp.asarray(table), axis=2)
-    logits = jnp.einsum(
-        "bhed,bhewd->bhew", q_e, k_e, preferred_element_type=jnp.float32
-    ) * (d**-0.5)
-    weights = jax.nn.softmax(logits, axis=-1)
-    out_e = jnp.einsum(
-        "bhew,bhewd->bhed", weights, v_e.astype(jnp.float32)
-    ).astype(q.dtype)
+    def edge_rows(row_lo, slab_k, slab_v, slab_idx):
+        q_e = jax.lax.slice_in_dim(q, row_lo, row_lo + hw, axis=2)
+        k_e = jnp.take(slab_k, jnp.asarray(slab_idx), axis=2)
+        v_e = jnp.take(slab_v, jnp.asarray(slab_idx), axis=2)
+        logits = jnp.einsum(
+            "bhed,bhewd->bhew", q_e, k_e, preferred_element_type=jnp.float32
+        ) * (d**-0.5)
+        weights = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum(
+            "bhew,bhewd->bhed", weights, v_e.astype(jnp.float32)
+        ).astype(out.dtype)
 
-    out = out.at[:, :, :hw].set(out_e[:, :, :hw])
-    out = out.at[:, :, s - hw :].set(out_e[:, :, hw:])
-    return out
+    # Left edge: keys < W plus key S-1 (slot W).
+    lk = jnp.concatenate(
+        [jax.lax.slice_in_dim(k, 0, w, axis=2),
+         jax.lax.slice_in_dim(k, s - 1, s, axis=2)], axis=2)
+    lv = jnp.concatenate(
+        [jax.lax.slice_in_dim(v, 0, w, axis=2),
+         jax.lax.slice_in_dim(v, s - 1, s, axis=2)], axis=2)
+    lidx = np.where(table[:hw] < w, table[:hw], w).astype(np.int32)
+    left = edge_rows(0, lk, lv, lidx)
+
+    # Right edge: key 0 (slot 0) plus keys ≥ S-W (slot t-(S-W)+1).
+    rk = jnp.concatenate(
+        [jax.lax.slice_in_dim(k, 0, 1, axis=2),
+         jax.lax.slice_in_dim(k, s - w, s, axis=2)], axis=2)
+    rv = jnp.concatenate(
+        [jax.lax.slice_in_dim(v, 0, 1, axis=2),
+         jax.lax.slice_in_dim(v, s - w, s, axis=2)], axis=2)
+    rtab = table[s - hw:]
+    ridx = np.where(rtab == 0, 0, rtab - (s - w) + 1).astype(np.int32)
+    right = edge_rows(s - hw, rk, rv, ridx)
+
+    out = jax.lax.dynamic_update_slice_in_dim(out, left, 0, axis=2)
+    return jax.lax.dynamic_update_slice_in_dim(out, right, s - hw, axis=2)
