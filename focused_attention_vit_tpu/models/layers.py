@@ -174,6 +174,72 @@ class MultiHeadAttention(nn.Module):
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
 
+class HeadQKVProj(nn.Module):
+    """Fused qkv projection emitted directly in per-head ``[B, h, S, d]``
+    layout by a single einsum (``bsD,Dthd->tbhsd``).
+
+    Parameter-compatible with ``nn.DenseGeneral(features=(3, h, d))``
+    (kernel ``[D, 3, h, d]``, bias ``[3, h, d]``) so checkpoints and the
+    torch converter are unaffected. Used at long S, where the separate
+    ``[B,S,3,h,d] → [3,B,h,S,d]`` transpose is a major relayout (~215
+    ms/step of the ViT-B/4 S=3137 step, BASELINE.md round-3 bisect);
+    folding it into the matmul's output layout lets XLA emit the relayout
+    as part of the contraction.
+    """
+
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        d_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", dense_init, (d_in, 3, self.num_heads, self.head_dim)
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(),
+            (3, self.num_heads, self.head_dim),
+        )
+        y = jnp.einsum(
+            "bsD,Dthd->tbhsd", x.astype(self.dtype), kernel.astype(self.dtype)
+        )
+        y = y + bias.astype(self.dtype)[:, None, :, None, :]
+        # Static slices (integer indexing would lower to gathers).
+        return (
+            jax.lax.index_in_dim(y, 0, axis=0, keepdims=False),
+            jax.lax.index_in_dim(y, 1, axis=0, keepdims=False),
+            jax.lax.index_in_dim(y, 2, axis=0, keepdims=False),
+        )
+
+
+class HeadMergeProj(nn.Module):
+    """Output projection consuming ``[B, h, S, d]`` directly
+    (``bhsd,hdD->bsD``), parameter-compatible with
+    ``nn.DenseGeneral(features=D, axis=(-2, -1))`` applied to the
+    ``[B, S, h, d]`` transpose (kernel ``[h, d, D]``, bias ``[D]``).
+    The long-S partner of :class:`HeadQKVProj`."""
+
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h, d = x.shape[1], x.shape[3]
+        kernel = self.param("kernel", dense_init, (h, d, self.embed_dim))
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.embed_dim,)
+        )
+        return (
+            jnp.einsum(
+                "bhsd,hdD->bsD",
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+            )
+            + bias.astype(self.dtype)
+        )
+
+
 class MultiHeadLatentAttention(nn.Module):
     """Windowed latent attention (reference: models/mhla.py:17-161).
 
@@ -197,12 +263,7 @@ class MultiHeadLatentAttention(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         head_dim = self.embed_dim // self.num_heads
-        qkv = nn.DenseGeneral(
-            features=(3, self.num_heads, head_dim),
-            kernel_init=dense_init,
-            dtype=self.dtype,
-            name="qkv",
-        )(x)
+        long_s = x.shape[1] > window_ops.DENSE_BAND_MAX_SEQ
         latent = nn.Dense(
             self.embed_dim // self.num_heads,
             kernel_init=dense_init,
@@ -212,7 +273,7 @@ class MultiHeadLatentAttention(nn.Module):
 
         if (
             attention_mask is None
-            and x.shape[1] > window_ops.DENSE_BAND_MAX_SEQ
+            and long_s
             and (self.dropout == 0.0 or deterministic)
             and os.environ.get("FAVIT_MHLA_NSH", "0") == "1"
         ):
@@ -220,6 +281,12 @@ class MultiHeadLatentAttention(nn.Module):
             # layout end-to-end. Measured at S=3137: saves ~55 ms of head
             # transposes but the [B,S,h,W] band ops are worse minor-dim
             # shapes — net loss vs BHSD (BASELINE.md round-3 bisect).
+            qkv = nn.DenseGeneral(
+                features=(3, self.num_heads, head_dim),
+                kernel_init=dense_init,
+                dtype=self.dtype,
+                name="qkv",
+            )(x)
             q_n, k_n, v_n = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             k_n = latent(k_n)
             v_n = latent(v_n)
@@ -235,7 +302,21 @@ class MultiHeadLatentAttention(nn.Module):
             )(out)
             return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
-        q, k, v = attn_ops.qkv_split_heads(qkv)  # [B, h, S, d]
+        if long_s:
+            # Long S: einsum projections straight into/out of [B, h, S, d]
+            # — no [B,S,3,h,d]→[3,B,h,S,d] relayout (param-compatible with
+            # the DenseGeneral path; see HeadQKVProj).
+            q, k, v = HeadQKVProj(
+                self.num_heads, head_dim, dtype=self.dtype, name="qkv"
+            )(x)
+        else:
+            qkv = nn.DenseGeneral(
+                features=(3, self.num_heads, head_dim),
+                kernel_init=dense_init,
+                dtype=self.dtype,
+                name="qkv",
+            )(x)
+            q, k, v = attn_ops.qkv_split_heads(qkv)  # [B, h, S, d]
         k = latent(k)
         v = latent(v)
 
@@ -267,10 +348,34 @@ class MultiHeadLatentAttention(nn.Module):
             out = jnp.einsum(
                 "bhst,bhtd->bhsd", weights.astype(v.dtype), v
             )
+        elif (
+            self.dropout > 0.0
+            and not deterministic
+            and attention_mask is None
+            and s > 2 * self.window_size
+        ):
+            # Long-S train-mode dropout (S > DENSE_BAND_MAX_SEQ): the
+            # halo-shift band with inverted dropout applied to its
+            # [B,h,W,S] window weights — one Bernoulli per window slot
+            # including duplicated edge slots, exactly the reference's
+            # dropout on the [B,h,S,W] weights (models/mhla.py:146-147).
+            # Replaces the gather formulation (7× K/V materialization +
+            # scatter backward) that made S=3137 training pay ~30% over
+            # the band (BASELINE.md round 3).
+            drop = nn.Dropout(self.dropout)
+            out = window_ops.windowed_latent_attention(
+                q,
+                k,
+                v,
+                self.window_size,
+                weights_transform=lambda wts: drop(
+                    wts, deterministic=deterministic
+                ),
+            )
         elif self.dropout > 0.0 and not deterministic:
             # Train-mode attention-weight dropout on the [B,h,S,W] window
             # weights (reference: models/mhla.py:146-147) — gather
-            # formulation (masked attention or out-of-band S).
+            # formulation (masked attention or tiny S).
             table = jnp.asarray(
                 window_ops.window_index_table(s, self.window_size)
             )
@@ -298,14 +403,19 @@ class MultiHeadLatentAttention(nn.Module):
             out = window_ops.windowed_latent_attention(
                 q, k, v, self.window_size, attention_mask
             )
-        out = out.transpose(0, 2, 1, 3)  # [B, S, h, d]
-        out = nn.DenseGeneral(
-            self.embed_dim,
-            axis=(-2, -1),
-            kernel_init=dense_init,
-            dtype=self.dtype,
-            name="proj",
-        )(out)
+        if long_s:
+            out = HeadMergeProj(
+                self.embed_dim, dtype=self.dtype, name="proj"
+            )(out)
+        else:
+            out = out.transpose(0, 2, 1, 3)  # [B, S, h, d]
+            out = nn.DenseGeneral(
+                self.embed_dim,
+                axis=(-2, -1),
+                kernel_init=dense_init,
+                dtype=self.dtype,
+                name="proj",
+            )(out)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
 

@@ -242,26 +242,63 @@ def _blocked_band_attention(
     return out.reshape(b, h, sp, d)[:, :, :s]
 
 
+def _halo_pad(x: jnp.ndarray, window_size: int, axis: int) -> jnp.ndarray:
+    """Pad ``axis`` with the reference's edge halo: ``hw`` copies of row
+    S-1 on the left and ``w-1-hw`` copies of row 0 on the right.
+
+    With this halo, offset ``o`` of the shift band reads padded row
+    ``i+o`` = row ``i-hw+o`` for interior indices, row S-1 wherever
+    ``i-hw+o < 0`` and row 0 wherever ``i-hw+o > S-1`` — exactly the
+    reference's window table (models/mhla.py:72-79), with duplicated edge
+    keys naturally appearing once per duplicated slot so their softmax
+    multiplicity is preserved. Backward of the concat is contiguous
+    slices; backward of the broadcast halos is a tiny sum — never a
+    full-K scatter (the post-hoc edge-row overwrite this replaces cost
+    ~413 ms/step at S=3137 b32, BASELINE.md round-3 bisect).
+    """
+    w = window_size
+    hw = w // 2
+    s = x.shape[axis]
+    last = jax.lax.slice_in_dim(x, s - 1, s, axis=axis)
+    first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+    # Repeat via concat of the same slice (jnp.repeat lowers to a gather).
+    parts = [last] * hw + [x] + [first] * (w - 1 - hw)
+    return jnp.concatenate(parts, axis=axis) if len(parts) > 1 else x
+
+
 def _shift_banded_attention(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, window_size: int
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    window_size: int,
+    weights_transform=None,
 ) -> jnp.ndarray:
     """Shift-based banded attention — no window tensor, no gathers.
 
     For interior rows the window is a pure diagonal band: offset o reads
     key row i-hw+o, so scores come from W shifted elementwise
-    multiply-reduces over edge-replicated (clamped) K. Clamping differs
-    from the reference's edge rule only in the first/last hw rows, which
-    the caller overwrites with the exact gather computation
-    (windowed_latent_attention below).
+    multiply-reduces over halo-padded K (:func:`_halo_pad`), which makes
+    the result exact everywhere including the reference's duplicated-key
+    edge rule — no edge-row fixup needed.
+
+    Layout note: logits/weights live as ``[B, h, W, S]`` (S on the minor
+    axis). The natural ``[B, h, S, W]`` stack puts W=7 on the lane axis,
+    which the TPU pads to 128 lanes — an ~18× inflation of every softmax
+    byte that dominated the band's cost at S=3137 (BASELINE.md round 3).
+
+    Args:
+      weights_transform: optional callable applied to the ``[B, h, W, S]``
+        softmax weights (e.g. attention-weight dropout,
+        reference models/mhla.py:146-147 — one Bernoulli per window slot,
+        duplicated edge slots drawn independently, exactly like the
+        reference's ``[B, h, S, W]`` dropout).
     """
     b, h, s, d = q.shape
     w = window_size
-    hw = w // 2
     qf = q.astype(jnp.float32)
 
-    # Edge-replicated pad implements index clamping.
-    kp = jnp.pad(k, ((0, 0), (0, 0), (hw, w - 1 - hw), (0, 0)), mode="edge")
-    vp = jnp.pad(v, ((0, 0), (0, 0), (hw, w - 1 - hw), (0, 0)), mode="edge")
+    kp = _halo_pad(k, w, axis=2)
+    vp = _halo_pad(v, w, axis=2)
 
     logits = jnp.stack(
         [
@@ -274,12 +311,16 @@ def _shift_banded_attention(
             )
             for o in range(w)
         ],
-        axis=-1,
-    ) * (d**-0.5)  # [B, h, S, W]
+        axis=2,
+    ) * (d**-0.5)  # [B, h, W, S]
 
-    weights = jax.nn.softmax(logits, axis=-1)
+    weights = jax.nn.softmax(logits, axis=2)
+    if weights_transform is not None:
+        weights = weights_transform(weights)
     out = sum(
-        weights[..., o : o + 1]
+        # Static slice + free reshape [B,h,1,S]→[B,h,S,1] (integer
+        # indexing would lower to a gather).
+        jax.lax.slice_in_dim(weights, o, o + 1, axis=2).reshape(b, h, s, 1)
         * jax.lax.dynamic_slice_in_dim(vp, o, s, axis=2).astype(jnp.float32)
         for o in range(w)
     )
@@ -299,16 +340,14 @@ def _shift_banded_attention_nsh(
     shifted multiply-reduces contract the minor ``d`` axis, the softmax
     runs over the stacked offset axis, and the output is already in the
     ``[B, S, h, d]`` shape the head-merging output projection consumes.
-    Clamp semantics (edge-replicated pad); the caller overwrites the
-    first/last W//2 rows with the exact duplicated-edge-key windows.
+    Exact everywhere via the reference-edge halo pad (:func:`_halo_pad`).
     """
     b, s, h, d = q.shape
     w = window_size
-    hw = w // 2
     qf = q.astype(jnp.float32)
 
-    kp = jnp.pad(k, ((0, 0), (hw, w - 1 - hw), (0, 0), (0, 0)), mode="edge")
-    vp = jnp.pad(v, ((0, 0), (hw, w - 1 - hw), (0, 0), (0, 0)), mode="edge")
+    kp = _halo_pad(k, w, axis=1)
+    vp = _halo_pad(v, w, axis=1)
 
     logits = jnp.stack(
         [
@@ -351,60 +390,10 @@ def windowed_latent_attention_nsh(
         )
         return out.transpose(0, 2, 1, 3)
 
-    out = _shift_banded_attention_nsh(q, k, v, w)
-    if hw == 0:
-        return out
-
-    # Exact edge rows (reference pads left-edge windows with key S-1 and
-    # right-edge windows with key 0, models/mhla.py:72-79). Cost
-    # discipline (BASELINE.md round-3 bisect: the naive version cost
-    # ~400 ms/step at S=3137 b32):
-    #  * keys are gathered from a tiny (W+1)-row SLAB built by contiguous
-    #    slices (left edge only references keys < W plus key S-1; right
-    #    edge only keys ≥ S-W plus key 0), so the backward pass is a tiny
-    #    scatter plus contiguous pad-adds — never a full-K scatter;
-    #  * results land via contiguous dynamic_update_slices, not a
-    #    fancy-index scatter.
-    table = window_index_table(s, w)  # [S, W]
-
-    def edge_rows(row_lo: int, slab_k: jnp.ndarray, slab_v: jnp.ndarray,
-                  slab_idx: np.ndarray) -> jnp.ndarray:
-        q_e = jax.lax.slice_in_dim(q, row_lo, row_lo + hw, axis=1)
-        k_e = jnp.take(slab_k, jnp.asarray(slab_idx), axis=1)
-        v_e = jnp.take(slab_v, jnp.asarray(slab_idx), axis=1)
-        logits = jnp.einsum(
-            "behd,bewhd->behw", q_e, k_e, preferred_element_type=jnp.float32
-        ) * (d**-0.5)
-        weights = jax.nn.softmax(logits, axis=-1)
-        return jnp.einsum(
-            "behw,bewhd->behd", weights.astype(v.dtype), v_e
-        ).astype(out.dtype)
-
-    # Left edge: slab rows = keys [0, W) ++ key S-1; table values < W map
-    # to themselves, S-1 maps to slot W.
-    lk = jnp.concatenate(
-        [jax.lax.slice_in_dim(k, 0, w, axis=1),
-         jax.lax.slice_in_dim(k, s - 1, s, axis=1)], axis=1)
-    lv = jnp.concatenate(
-        [jax.lax.slice_in_dim(v, 0, w, axis=1),
-         jax.lax.slice_in_dim(v, s - 1, s, axis=1)], axis=1)
-    lidx = np.where(table[:hw] < w, table[:hw], w).astype(np.int32)
-    left = edge_rows(0, lk, lv, lidx)
-
-    # Right edge: slab rows = key 0 ++ keys [S-W, S); key 0 → slot 0,
-    # key t ≥ S-W → slot t-(S-W)+1.
-    rk = jnp.concatenate(
-        [jax.lax.slice_in_dim(k, 0, 1, axis=1),
-         jax.lax.slice_in_dim(k, s - w, s, axis=1)], axis=1)
-    rv = jnp.concatenate(
-        [jax.lax.slice_in_dim(v, 0, 1, axis=1),
-         jax.lax.slice_in_dim(v, s - w, s, axis=1)], axis=1)
-    rtab = table[s - hw:]
-    ridx = np.where(rtab == 0, 0, rtab - (s - w) + 1).astype(np.int32)
-    right = edge_rows(s - hw, rk, rv, ridx)
-
-    out = jax.lax.dynamic_update_slice_in_dim(out, left, 0, axis=1)
-    return jax.lax.dynamic_update_slice_in_dim(out, right, s - hw, axis=1)
+    # The halo-padded shift band is exact everywhere, including the
+    # reference's duplicated-edge-key softmax multiplicity (see
+    # :func:`_halo_pad`) — no edge-row fixup.
+    return _shift_banded_attention_nsh(q, k, v, w)
 
 
 def windowed_latent_attention(
@@ -413,6 +402,7 @@ def windowed_latent_attention(
     v: jnp.ndarray,
     window_size: int,
     attention_mask: jnp.ndarray | None = None,
+    weights_transform=None,
 ) -> jnp.ndarray:
     """Window-local attention on per-head tensors ``[B, h, S, d]``.
 
@@ -422,15 +412,20 @@ def windowed_latent_attention(
     including the duplicated edge keys participating in the softmax with
     their multiplicity.
 
-    Fast path: shift-based banded compute (O(S·W·d) reads, no [S, W, d]
-    materialization) + exact edge-row overwrite; on TPU the banded part is
-    a fused Pallas kernel (ops/mhla_kernel_v4.py). Falls back to the gather
-    formulation for masked attention or tiny sequences.
+    Fast path: halo-padded shift-banded compute (O(S·W·d) reads, no
+    [S, W, d] materialization, exact edge rule built into the pad);
+    optional Pallas kernel (ops/mhla_kernel_v4.py) via env. Falls back to
+    the gather formulation for masked attention or tiny sequences.
 
     Args:
       attention_mask: optional ``[B, S, S]`` mask; entries gathered per
         window and zero entries filled with -inf
         (reference: models/mhla.py:136-143).
+      weights_transform: optional callable on the ``[B, h, W, S]`` softmax
+        weights (attention-weight dropout for long-S training — see
+        :func:`_shift_banded_attention`). Only valid without a mask at
+        banded S; forces the shift path so the transform is never
+        silently dropped.
 
     Returns:
       ``[B, h, S, d]`` attention output (pre output-projection).
@@ -440,7 +435,15 @@ def windowed_latent_attention(
     hw = w // 2
 
     if attention_mask is not None or s <= 2 * w:
+        if weights_transform is not None:
+            raise ValueError(
+                "weights_transform requires attention_mask=None and "
+                f"S > 2*W (got S={s}, W={w})"
+            )
         return _gather_windowed_attention(q, k, v, w, attention_mask)
+
+    if weights_transform is not None:
+        return _shift_banded_attention(q, k, v, w, weights_transform)
 
     impl = os.environ.get("FAVIT_MHLA_IMPL", "auto")
     if impl == "densefull" or (impl == "auto" and s <= DENSE_BAND_MAX_SEQ):
@@ -479,14 +482,17 @@ def windowed_latent_attention(
         # than both densefull (short S) and shift (long S) on v5e.
         out = _blocked_band_attention(q, k, v, w)
     else:
-        out = _shift_banded_attention(q, k, v, w)
+        # Halo-padded shift band: exact everywhere incl. the reference's
+        # duplicated-edge-key rule (:func:`_halo_pad`) — returns directly.
+        return _shift_banded_attention(q, k, v, w)
 
     if hw == 0:
         return out
 
-    # Exact edge rows (first/last hw): the reference pads left-edge windows
-    # with key S-1 and right-edge windows with key 0 (models/mhla.py:72-79),
-    # whereas the banded path clamps. Recompute those 2·hw rows exactly —
+    # Exact edge rows (first/last hw) for the pallas/blocked paths, whose
+    # banded compute clamps at the edges: the reference pads left-edge
+    # windows with key S-1 and right-edge windows with key 0
+    # (models/mhla.py:72-79). Recompute those 2·hw rows exactly —
     # gathering from tiny (W+1)-row slabs built by contiguous slices so the
     # backward pass never scatter-adds into the full K/V (the naive
     # edge fix cost ~400 ms/step at S=3137 b32, BASELINE.md round-3

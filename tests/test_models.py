@@ -202,3 +202,32 @@ def test_scan_layers_matches_loop(make):
     assert "blocks" in init_scan and "block" in init_scan["blocks"]
     leaf = jax.tree.leaves(init_scan["blocks"]["block"])[0]
     assert leaf.shape[0] == TINY["depth"]
+
+
+def test_mhla_long_s_einsum_projections_match_densegeneral(monkeypatch):
+    """At long S the MHLA layer swaps nn.DenseGeneral head projections for
+    param-compatible einsum forms (HeadQKVProj/HeadMergeProj — no
+    [B,S,3,h,d]→[3,B,h,S,d] relayout). Same params through both branches
+    must give the same output: force the branch flip via
+    DENSE_BAND_MAX_SEQ around a fixed S (both sides of the flip use exact
+    window formulations, so any difference is projection math)."""
+    from focused_attention_vit_tpu.models.layers import (
+        MultiHeadLatentAttention,
+    )
+    from focused_attention_vit_tpu.ops import window as window_ops
+
+    rng = np.random.default_rng(0)
+    s, dim, heads, w = 96, 32, 4, 7
+    m = MultiHeadLatentAttention(embed_dim=dim, num_heads=heads, window_size=w)
+    x = jnp.asarray(rng.normal(size=(2, s, dim)).astype(np.float32))
+
+    monkeypatch.setattr(window_ops, "DENSE_BAND_MAX_SEQ", s + 1)
+    params = m.init(jax.random.PRNGKey(0), x)  # short-S branch (DenseGeneral)
+    out_dense = m.apply(params, x)
+
+    monkeypatch.setattr(window_ops, "DENSE_BAND_MAX_SEQ", s - 1)
+    out_einsum = m.apply(params, x)  # long-S branch (einsum projections)
+
+    np.testing.assert_allclose(
+        np.asarray(out_einsum), np.asarray(out_dense), atol=1e-5, rtol=1e-5
+    )

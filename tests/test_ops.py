@@ -158,6 +158,53 @@ class TestWindowedAttention:
         np.testing.assert_allclose(
             np.asarray(fast), np.asarray(oracle), atol=1e-5, rtol=1e-5
         )
+        if s > 2 * w:
+            # weights_transform plumbing: the identity transform forces the
+            # shift path and must reproduce the oracle exactly (this is the
+            # hook long-S train-mode attention dropout rides).
+            hooked = windowed_latent_attention(
+                q, k, v, w, weights_transform=lambda x: x
+            )
+            np.testing.assert_allclose(
+                np.asarray(hooked), np.asarray(oracle), atol=1e-5, rtol=1e-5
+            )
+
+    def test_mhla_long_s_train_dropout_takes_band_path(self, rng):
+        """MHLA at long S (> DENSE_BAND_MAX_SEQ) with attn dropout in train
+        mode rides the halo-shift band: the traced program contains no
+        [S, W, d] window gather (the round-2 formulation materialized 7× K/V
+        with a scatter backward), and the output stays finite."""
+        from focused_attention_vit_tpu.models.layers import (
+            MultiHeadLatentAttention,
+        )
+        from focused_attention_vit_tpu.ops import window as window_ops
+
+        s = window_ops.DENSE_BAND_MAX_SEQ + 63
+        b, dim, heads, w = 1, 32, 2, 7
+        m = MultiHeadLatentAttention(
+            embed_dim=dim, num_heads=heads, window_size=w, dropout=0.1
+        )
+        x = jnp.asarray(rng.normal(size=(b, s, dim)).astype(np.float32))
+        params = m.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            x, deterministic=False,
+        )
+
+        def fwd(p, x):
+            return m.apply(
+                p, x, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(2)},
+            )
+
+        jaxpr = repr(jax.make_jaxpr(fwd)(params, x))
+        assert "gather" not in jaxpr, (
+            "long-S train-mode MHLA dropout fell back to the window-gather "
+            "formulation"
+        )
+        out = jax.jit(fwd)(params, x)
+        assert out.shape == (b, s, dim)
+        assert bool(jnp.isfinite(out).all())
 
     @pytest.mark.parametrize("s,w", [(40, 7), (33, 5), (100, 3), (64, 4),
                                      (197, 7)])
@@ -349,9 +396,34 @@ class TestWindowedAttention:
         from focused_attention_vit_tpu.ops.mhla_kernel_v4 import (
             banded_attention_v4,
         )
-        from focused_attention_vit_tpu.ops.window import (
-            _shift_banded_attention,
-        )
+
+        def _clamp_shift(q, k, v, w):
+            # Clamp-semantics shift band (the v4 kernel's edge rule; the
+            # production path overwrites its edge rows — window.py). The
+            # production _shift_banded_attention is exact-halo, so the
+            # clamp oracle lives here.
+            hw = w // 2
+            pad = ((0, 0), (0, 0), (hw, w - 1 - hw), (0, 0))
+            kp = jnp.pad(k, pad, mode="edge")
+            vp = jnp.pad(v, pad, mode="edge")
+            s = q.shape[2]
+            logits = jnp.stack(
+                [
+                    jnp.einsum(
+                        "bhsd,bhsd->bhs",
+                        q,
+                        jax.lax.dynamic_slice_in_dim(kp, o, s, axis=2),
+                    )
+                    for o in range(w)
+                ],
+                axis=-1,
+            ) * (q.shape[-1] ** -0.5)
+            weights = jax.nn.softmax(logits, axis=-1)
+            return sum(
+                weights[..., o : o + 1]
+                * jax.lax.dynamic_slice_in_dim(vp, o, s, axis=2)
+                for o in range(w)
+            )
 
         b, h, s, d, w = 2, 2, 197, 64, 7
         q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
@@ -365,12 +437,12 @@ class TestWindowedAttention:
                 lambda q, k, v: (banded_attention_v4(q, k, v, w, block=64) * cot).sum(),
                 argnums=(0, 1, 2),
             )(q, k, v)
-        ref = _shift_banded_attention(q, k, v, w)
+        ref = _clamp_shift(q, k, v, w)
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-4
         )
         g_ref = jax.grad(
-            lambda q, k, v: (_shift_banded_attention(q, k, v, w) * cot).sum(),
+            lambda q, k, v: (_clamp_shift(q, k, v, w) * cot).sum(),
             argnums=(0, 1, 2),
         )(q, k, v)
         for a, b_ in zip(g_v4, g_ref):
