@@ -201,9 +201,14 @@ def main():
         s3137["s3137_dense_images_per_sec_fwd_bwd"] = round(
             bench_train(VisionTransformer(**b4), 32, 224, microbatch=0), 2
         )
+        # scan_layers (lax.scan over depth, --scan_layers in the CLI) is
+        # the measured-best config at this geometry: 30.3 vs 28.2 img/s
+        # (BASELINE.md "S=3137 attack #2").
         s3137["s3137_mhla_images_per_sec_fwd_bwd"] = round(
             bench_train(
-                VisionTransformerMHLA(**b4, window_size=7, use_mhla=True),
+                VisionTransformerMHLA(
+                    **b4, window_size=7, use_mhla=True, scan_layers=True
+                ),
                 32, 224, microbatch=0,
             ), 2
         )

@@ -55,12 +55,15 @@ def parse_args(argv=None):
     parser.add_argument("--pooling_type", type=str, default="mean",
                         choices=["mean", "max", "attention"])
     parser.add_argument("--slic_connectivity", type=str, default="auto",
-                        choices=["auto", "on", "off"],
+                        choices=["auto", "on", "off", "host"],
                         help="skimage-style SLIC connectivity enforcement: "
-                             "auto = on for images <=64^2 px (where it is "
-                             "cheap and golden-validated), off above; "
-                             "'on' forces full skimage fidelity at 224^2 "
-                             "(~40x SLIC cost — see BASELINE.md)")
+                             "auto = on-device for images <=64^2 px (cheap, "
+                             "golden-validated), host C++ kernel above when "
+                             "callbacks work (exact skimage BFS, ~ms/image), "
+                             "else off with a warning; 'on' forces the "
+                             "on-device path at any size (~25x SLIC cost at "
+                             "224^2 — see BASELINE.md); 'host' forces the "
+                             "native kernel (native/connectivity.cpp)")
 
     # MHLA settings (reference: main.py:123-124)
     parser.add_argument("--window_size", type=int, default=7)

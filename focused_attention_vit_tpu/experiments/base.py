@@ -117,11 +117,15 @@ class ExperimentBase:
             v = v.lower()
             if v == "auto":
                 return "auto"
+            if v == "host":
+                return "host"
             if v in ("on", "true", "1"):
                 return True
             if v in ("off", "false", "0"):
                 return False
-            raise ValueError(f"slic_connectivity must be auto/on/off, got {v!r}")
+            raise ValueError(
+                f"slic_connectivity must be auto/on/off/host, got {v!r}"
+            )
         return bool(v)
 
     def build_params(self, model, rng, sample):

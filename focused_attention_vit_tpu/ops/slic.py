@@ -32,6 +32,7 @@ channel space scaled to a comparable dynamic range.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -331,18 +332,28 @@ def _enforce_connectivity(
         )
 
     # Merge-small passes (parallel analogue of skimage's cascading scan-order
-    # merges; pointer-jumping inside each pass resolves chains).
-    def merge_pass(_, comp):
+    # merges; pointer-jumping inside each pass resolves chains). Early-exit
+    # while: each [p]-table gather costs ~65 ms at 224² b128 (xplane,
+    # round 3), so passes that would be no-ops must not run.
+    ids0 = jnp.arange(p, dtype=jnp.int32)
+
+    def merge_cond(carry):
+        i, comp, changed = carry
+        return (i < 4) & changed
+
+    def merge_body(carry):
+        i, comp, _ = carry
         sizes = sizes_of(comp)
         adj = _adjacent_component(comp, big)
-        ids = jnp.arange(p, dtype=jnp.int32)
         small = (sizes > 0) & (sizes < min_size) & (adj < big)
-        mapping = jnp.where(small, adj.astype(jnp.int32), ids)
+        mapping = jnp.where(small, adj.astype(jnp.int32), ids0)
         mapping = mapping[mapping]
         mapping = mapping[mapping]
-        return mapping[comp]
+        return i + 1, mapping[comp], small.any()
 
-    comp = jax.lax.fori_loop(0, 4, merge_pass, comp)
+    _, comp, _ = jax.lax.while_loop(
+        merge_cond, merge_body, (jnp.int32(0), comp, jnp.bool_(True))
+    )
 
     # Reduce to ≤ R components — BATCHED: each pass keeps the R largest
     # live components (strict (size, smaller-id-wins) ranking) and merges
@@ -367,18 +378,35 @@ def _enforce_connectivity(
     def reduce_body(comp):
         sizes = sizes_of(comp)
         live = sizes > 0
-        # Unique ranking key: bigger size wins; among equal sizes the
-        # smaller representative id wins (ids are unique per component).
-        key = sizes.astype(jnp.int64) * (p + 1) + (p - ids).astype(jnp.int64)
-        key = jnp.where(live, key, -1)
-        kth = jax.lax.top_k(key, num_segments)[0][num_segments - 1]
-        keep = live & (key >= kth)
+        # Keep the R largest live components; among equal sizes the
+        # smaller representative id wins. Two-stage exact selection in
+        # int32 — a combined key `sizes*(p+1) + (p-ids)` overflows int32
+        # at 224² (p=50176, and x64 is disabled on this stack), which
+        # silently corrupted the ranking above the golden-test geometry.
+        szl = jnp.where(live, sizes, -1)
+        kth_size = jax.lax.top_k(szl, num_segments)[0][num_segments - 1]
+        above = live & (sizes > kth_size)
+        slots = num_segments - above.sum()  # ties at kth_size to fill
+        eq = live & (sizes == kth_size)
+        neg_ids = jnp.where(eq, -ids, -(p + 1))
+        eq_ids_sorted = -jax.lax.top_k(neg_ids, num_segments)[0]  # ascending
+        thr_idx = jnp.clip(slots - 1, 0, num_segments - 1)
+        thr = jax.lax.dynamic_index_in_dim(
+            eq_ids_sorted, thr_idx, keepdims=False
+        )
+        keep = above | (eq & (slots > 0) & (ids <= thr))
         adj = _adjacent_component(comp, big)
         has_adj = adj < big
         target = adj.astype(jnp.int32)
         allowed = has_adj & (keep[jnp.clip(target, 0, p - 1)] | (target < ids))
         mapping = jnp.where(live & ~keep & allowed, target, ids)
-        for _ in range(17):  # 2^17 > p: full chain resolution
+        # 2^6-deep chain resolution: each [p]-table gather costs ~65 ms at
+        # 224² b128 (xplane, round 3), so the former 17 jumps (~1.1 s per
+        # pass) are the dominant cost. Merge chains deeper than 64 are
+        # practically nonexistent, and any chain left unresolved simply
+        # keeps count > R so the enclosing while runs one more (cheap)
+        # pass — correctness is unaffected.
+        for _ in range(6):
             mapping = mapping[mapping]
         return mapping[comp]
 
@@ -423,17 +451,53 @@ def slic_segment(
     single = images.ndim == 3
     if single:
         images = images[None]
+    h, w = images.shape[1:3]
     if enforce_connectivity == "auto":
-        h, w = images.shape[1:3]
-        enforce_connectivity = h * w <= AUTO_CONNECTIVITY_MAX_PIXELS
-        if not enforce_connectivity:
-            _warn_auto_connectivity_off(h, w)
+        if h * w <= AUTO_CONNECTIVITY_MAX_PIXELS:
+            enforce_connectivity = True
+        else:
+            # Above the device-affordable size the enforcement moves to the
+            # host C++ kernel (native/connectivity.cpp — exact skimage BFS
+            # semantics, ~ms per image) via jax.pure_callback. The axon
+            # PJRT tunnel does not support host callbacks
+            # (UNIMPLEMENTED: send/recv), so on that backend auto degrades
+            # to off with a warning unless FAVIT_HOST_CONNECTIVITY=1
+            # forces the host path (real TPU runtimes support callbacks).
+            from focused_attention_vit_tpu.ops import native_connectivity
+
+            backend = jax.default_backend()
+            callback_ok = backend != "axon" or os.environ.get(
+                "FAVIT_HOST_CONNECTIVITY", "0"
+            ) == "1"
+            if native_connectivity.native_available() and callback_ok:
+                enforce_connectivity = "host"
+            else:
+                enforce_connectivity = False
+                _warn_auto_connectivity_off(h, w)
+
+    host = enforce_connectivity == "host"
 
     def per_image(im):
         im = gaussian_blur(im, sigma)
         return _slic_single(
-            im, num_segments, compactness, n_iter, enforce_connectivity
+            im, num_segments, compactness, n_iter,
+            False if host else enforce_connectivity,
         )
 
     out = jax.vmap(per_image)(images)
+    if host:
+        from focused_attention_vit_tpu.ops import native_connectivity
+
+        min_size = int(round(0.5 * (h * w / num_segments)))
+
+        def _host_fn(lab):
+            return native_connectivity.enforce_connectivity_host(
+                np.asarray(lab), min_size, num_segments
+            )
+
+        out = jax.pure_callback(
+            _host_fn,
+            jax.ShapeDtypeStruct(out.shape, jnp.int32),
+            out,
+        )
     return out[0] if single else out

@@ -288,6 +288,8 @@ def test_slic_connectivity_flag_mapping(dirs):
     assert e._slic_connectivity() is True
     e.slic_connectivity = "off"
     assert e._slic_connectivity() is False
+    e.slic_connectivity = "host"
+    assert e._slic_connectivity() == "host"
     e.slic_connectivity = "bogus"
     with pytest.raises(ValueError):
         e._slic_connectivity()

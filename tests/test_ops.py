@@ -865,3 +865,114 @@ class TestSLIC:
             scores.append(cont[ri, ci].sum() / g.size)
         assert np.mean(scores) >= 0.72, scores
         assert np.min(scores) >= 0.60, scores
+
+
+class TestNativeConnectivity:
+    """Host C++ connectivity enforcement (native/connectivity.cpp via
+    ops/native_connectivity.py) — the TPU-native analogue of skimage's
+    Cython ``_enforce_label_connectivity_cython`` the reference inherits
+    through ``skimage.segmentation.slic`` (reference models/sppp.py:64-65).
+    Oracle: tools/slic_numpy._enforce_connectivity (same BFS semantics)."""
+
+    @pytest.fixture(autouse=True)
+    def _need_native(self):
+        from focused_attention_vit_tpu.ops import native_connectivity
+
+        if not native_connectivity.native_available():
+            pytest.skip("no C++ toolchain for native connectivity")
+
+    def test_bfs_semantics_exact_vs_oracle(self, rng=None):
+        from focused_attention_vit_tpu.ops.native_connectivity import (
+            enforce_connectivity_host,
+        )
+        from tools.slic_numpy import _enforce_connectivity as oracle
+
+        rng = np.random.default_rng(7)
+        for _ in range(12):
+            h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+            labels = rng.integers(0, 5, size=(h, w)).astype(np.int32)
+            min_size = int(rng.integers(1, 12))
+            ours = enforce_connectivity_host(labels, min_size, 10**6)
+            want = oracle(labels.astype(np.int64), min_size).astype(np.int32)
+            assert (ours == want).all()
+
+    def test_reduce_caps_label_count(self):
+        from focused_attention_vit_tpu.ops.native_connectivity import (
+            enforce_connectivity_host,
+        )
+
+        rng = np.random.default_rng(3)
+        labels = rng.integers(0, 30, size=(64, 64)).astype(np.int32)
+        out = enforce_connectivity_host(labels, 2, 16)
+        assert out.min() >= 0 and out.max() < 16
+
+    def test_batch_threading_matches_single(self):
+        from focused_attention_vit_tpu.ops.native_connectivity import (
+            enforce_connectivity_host,
+        )
+
+        rng = np.random.default_rng(11)
+        batch = rng.integers(0, 6, size=(6, 32, 32)).astype(np.int32)
+        b_out = enforce_connectivity_host(batch, 4, 10**6, n_threads=3)
+        for i in range(6):
+            one = enforce_connectivity_host(batch[i], 4, 10**6)
+            assert (b_out[i] == one).all()
+
+    def test_slic_host_mode_under_jit(self):
+        """enforce_connectivity='host' routes through jax.pure_callback and
+        produces a capped, connectivity-enforced partition under jit."""
+        rng = np.random.default_rng(5)
+        img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+        f = jax.jit(
+            lambda x: slic_segment(
+                x, num_segments=16, compactness=0.1,
+                enforce_connectivity="host",
+            )
+        )
+        seg = np.asarray(f(jnp.asarray(img)))
+        assert seg.shape == (2, 32, 32)
+        assert seg.min() >= 0 and seg.max() < 16
+        # eager == jit
+        seg2 = np.asarray(
+            slic_segment(
+                jnp.asarray(img), num_segments=16, compactness=0.1,
+                enforce_connectivity="host",
+            )
+        )
+        assert (seg == seg2).all()
+
+    def test_host_partition_agrees_with_device_on_patch_dominant(self):
+        """Host vs on-device enforcement: same consumption-granularity
+        result (patch-dominant superpixel under optimal label matching),
+        even though raw label ids differ (different compaction orders)."""
+        from scipy.optimize import linear_sum_assignment
+
+        # Structured input (smooth gradients + mild texture) — on pure
+        # noise the exact skimage cascade correctly collapses everything
+        # into one label, which is not a useful comparison surface.
+        rng = np.random.default_rng(9)
+        yy, xx = np.mgrid[0:32, 0:32].astype(np.float32) / 31.0
+        base = np.stack([yy, xx, (yy + xx) / 2], -1)
+        img = (
+            base[None] + 0.05 * rng.normal(size=(2, 32, 32, 3))
+        ).astype(np.float32)
+        R = 16
+        host = np.asarray(
+            slic_segment(
+                jnp.asarray(img), num_segments=R, compactness=0.1,
+                enforce_connectivity="host",
+            )
+        )
+        dev = np.asarray(
+            slic_segment(
+                jnp.asarray(img), num_segments=R, compactness=0.1,
+                enforce_connectivity=True,
+            )
+        )
+        for i in range(2):
+            hd = np.asarray(dominant_superpixel_per_patch(host[i], 4, R))
+            dd = np.asarray(dominant_superpixel_per_patch(dev[i], 4, R))
+            cont = np.zeros((R, R))
+            np.add.at(cont, (hd, dd), 1)
+            ri, ci = linear_sum_assignment(-cont)
+            assert cont[ri, ci].sum() / hd.size >= 0.85
