@@ -110,6 +110,12 @@ def parse_args(argv=None):
                         help="Tensor-parallel ('model') axis size; must "
                              "divide --num_devices. Shards MLP hidden dim "
                              "and attention heads Megatron-style")
+    parser.add_argument("--sp", type=int, default=1,
+                        help="Sequence-parallel ('seq') axis size; must "
+                             "divide --num_devices (with --tp). Shards the "
+                             "token axis; windowed MHLA attention exchanges "
+                             "a W//2-row halo over ICI "
+                             "(parallel/sequence.py). MHLA models only")
     parser.add_argument("--microbatch", type=int, default=None,
                         help="Gradient-accumulation chunk inside the jitted "
                              "train step (identical batch math; smaller "
@@ -150,6 +156,7 @@ def _common_kwargs(args):
         scan_layers=args.scan_layers,
         num_devices=args.num_devices,
         tp=args.tp,
+        sp=args.sp,
         microbatch=args.microbatch,
     )
 

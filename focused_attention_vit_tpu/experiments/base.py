@@ -85,6 +85,10 @@ class ExperimentBase:
     scan_layers: bool = False
     num_devices: Optional[int] = None  # >1 (or -1 = all) trains on a mesh
     tp: int = 1  # 'model' (tensor-parallel) axis size of the mesh
+    # 'seq' (sequence-parallel) axis size: shards the token axis of
+    # activations and the windowed attention's halo-exchange band
+    # (parallel/sequence.py) — MHLA-family models only.
+    sp: int = 1
     # Gradient-accumulation chunk inside the jitted step. None = auto
     # (16 on a single device — measured +66% ViT-B/16 throughput on v5e,
     # see BASELINE.md roofline; off on a mesh where the per-device batch is
@@ -168,7 +172,18 @@ class ExperimentBase:
                 subset_size=self.subset_size,
                 seed=self.seed,
             )
+        self.mesh = self._build_mesh()
         self.model = self.build_model()
+        if self.mesh is not None and "seq" in self.mesh.axis_names:
+            # Sequence parallelism: the model itself carries the sp mesh
+            # (token-axis GSPMD constraint + halo-exchange attention).
+            if not hasattr(self.model, "sp_mesh"):
+                raise ValueError(
+                    f"--sp requires an MHLA-family model; "
+                    f"{type(self.model).__name__} has no sequence-parallel "
+                    f"support (dense attention is not window-local)"
+                )
+            self.model = self.model.clone(sp_mesh=self.mesh, sp_axis="seq")
 
         rng = jax.random.PRNGKey(self.seed)
         sample = self._sample_batch()
@@ -186,7 +201,6 @@ class ExperimentBase:
         self.metrics["theoretical"] = self.theoretical_metrics()
         self.metrics["model_size"] = calculate_model_size(self.state.params)
 
-        self.mesh = self._build_mesh()
         if self.mesh is not None:
             from focused_attention_vit_tpu.parallel import shard_state
 
@@ -217,19 +231,20 @@ class ExperimentBase:
         return mb if (self.batch_size > mb and self.batch_size % mb == 0) else None
 
     def _build_mesh(self):
-        """Build the ('data','model') device mesh when multi-device training
-        is requested (--num_devices / --tp). The reference has no distributed
-        layer (SURVEY.md §2.4); this is the TPU-native DP/TP addition."""
-        if not self.num_devices and self.tp <= 1:
+        """Build the ('data','model'[,'seq']) device mesh when multi-device
+        training is requested (--num_devices / --tp / --sp). The reference
+        has no distributed layer (SURVEY.md §2.4); this is the TPU-native
+        DP/TP/SP addition."""
+        if not self.num_devices and self.tp <= 1 and self.sp <= 1:
             return None
         from focused_attention_vit_tpu.parallel import make_mesh
 
         n = self.num_devices
         if n is None or n <= 0:
             n = len(jax.devices())
-        if n == 1 and self.tp <= 1:
+        if n == 1 and self.tp <= 1 and self.sp <= 1:
             return None
-        mesh = make_mesh(n, tp=self.tp)
+        mesh = make_mesh(n, tp=self.tp, sp=self.sp)
         dp = mesh.shape["data"]
         if self.batch_size % dp:
             raise ValueError(

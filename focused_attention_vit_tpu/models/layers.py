@@ -253,6 +253,8 @@ class MultiHeadLatentAttention(nn.Module):
     window_size: int = 7
     dropout: float = 0.0
     use_fused_kernel: Optional[bool] = None
+    sp_mesh: Optional[object] = None  # jax.sharding.Mesh — sequence parallel
+    sp_axis: str = "seq"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -322,6 +324,28 @@ class MultiHeadLatentAttention(nn.Module):
 
         b, h, s, d = q.shape
         if (
+            self.sp_mesh is not None
+            and attention_mask is None
+            and s > 2 * self.window_size
+        ):
+            # Sequence-parallel windowed attention: token axis sharded over
+            # the mesh's sp axis, W//2-row halo exchanged by ppermute —
+            # see parallel/sequence.py. Exact same numerics as the
+            # single-device band, including the reference edge rule.
+            from focused_attention_vit_tpu.parallel.sequence import (
+                sp_windowed_attention,
+            )
+
+            key = (
+                self.make_rng("dropout")
+                if self.dropout > 0.0 and not deterministic
+                else None
+            )
+            out = sp_windowed_attention(
+                q, k, v, self.window_size, self.sp_mesh, self.sp_axis,
+                dropout_rate=self.dropout, dropout_key=key,
+            )
+        elif (
             self.dropout > 0.0
             and not deterministic
             and attention_mask is None
@@ -462,6 +486,8 @@ class MHLATransformerBlock(nn.Module):
     mlp_ratio: float = 4.0
     dropout: float = 0.0
     attn_dropout: float = 0.0
+    sp_mesh: Optional[object] = None
+    sp_axis: str = "seq"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -477,6 +503,8 @@ class MHLATransformerBlock(nn.Module):
             self.num_heads,
             window_size=self.window_size,
             dropout=self.attn_dropout,
+            sp_mesh=self.sp_mesh,
+            sp_axis=self.sp_axis,
             dtype=self.dtype,
             name="attn",
         )(y, attention_mask, deterministic=deterministic)
@@ -503,6 +531,8 @@ class SwitchableTransformerBlock(nn.Module):
     attn_dropout: float = 0.0
     use_mhla: bool = True
     use_flash: Optional[bool] = None
+    sp_mesh: Optional[object] = None
+    sp_axis: str = "seq"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -514,6 +544,8 @@ class SwitchableTransformerBlock(nn.Module):
                 self.num_heads,
                 window_size=self.window_size,
                 dropout=self.attn_dropout,
+                sp_mesh=self.sp_mesh,
+                sp_axis=self.sp_axis,
                 dtype=self.dtype,
                 name="attn",
             )(y, deterministic=deterministic)

@@ -38,6 +38,12 @@ class VisionTransformerMHLA(nn.Module):
     use_flash: Optional[bool] = None
     remat: bool = False  # see models/vit.py remat note
     scan_layers: bool = False  # see models/vit.py scan_layers note
+    # Sequence parallelism: shard the token axis of activations over
+    # ``sp_axis`` of ``sp_mesh`` (GSPMD for the token-local ops; explicit
+    # halo-exchange shard_map for the windowed attention —
+    # parallel/sequence.py). MHLA only (dense MHA is not window-local).
+    sp_mesh: Optional[object] = None  # jax.sharding.Mesh
+    sp_axis: str = "seq"
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -70,6 +76,8 @@ class VisionTransformerMHLA(nn.Module):
             attn_dropout=self.attn_dropout,
             use_mhla=self.use_mhla,
             use_flash=self.use_flash,
+            sp_mesh=self.sp_mesh,
+            sp_axis=self.sp_axis,
             dtype=self.dtype,
         )
         if self.scan_layers:
@@ -104,6 +112,25 @@ class VisionTransformerMHLA(nn.Module):
         x = jnp.concatenate([cls, x], axis=1)
         x = x + self.pos_embed.astype(x.dtype)
         x = self.pos_drop(x, deterministic=deterministic)
+        if self.sp_mesh is not None and not self.is_initializing():
+            # Shard the token axis over the sp axis (and batch over 'data'
+            # when the mesh has it): every token-local op — LayerNorm, MLP,
+            # qkv/out projections — partitions with zero communication
+            # under GSPMD; the windowed attention exchanges its halo via
+            # the shard_map in parallel/sequence.py.
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_axis = (
+                "data"
+                if "data" in self.sp_mesh.axis_names
+                and x.shape[0] % self.sp_mesh.shape["data"] == 0
+                else None  # e.g. batch-1 init trace
+            )
+            x = jax.lax.with_sharding_constraint(
+                x,
+                NamedSharding(self.sp_mesh, P(batch_axis, self.sp_axis, None)),
+            )
         if self.scan_layers:
             x, _ = self.blocks_scan(x, deterministic)
         else:

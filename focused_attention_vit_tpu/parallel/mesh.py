@@ -18,22 +18,29 @@ from jax.sharding import Mesh
 def make_mesh(
     n_devices: Optional[int] = None,
     tp: int = 1,
+    sp: int = 1,
     axis_names: Sequence[str] = ("data", "model"),
     devices=None,
 ) -> Mesh:
-    """Build a (data, model) mesh over the available devices.
+    """Build a (data, model[, seq]) mesh over the available devices.
 
     Args:
       n_devices: number of devices to use (default: all).
       tp: size of the 'model' axis; must divide n_devices. The 'model'
         axis is laid out over adjacent devices so TP collectives ride the
         fastest ICI links.
+      sp: size of the 'seq' (sequence-parallel) axis; when > 1 the mesh
+        gains a trailing 'seq' axis (innermost — its halo ppermutes ride
+        the nearest-neighbour ICI links; see parallel/sequence.py).
     """
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
-    if n % tp:
-        raise ValueError(f"tp={tp} must divide device count {n}")
+    if n % (tp * sp):
+        raise ValueError(f"tp={tp} * sp={sp} must divide device count {n}")
+    if sp > 1:
+        grid = np.asarray(devices).reshape(n // (tp * sp), tp, sp)
+        return Mesh(grid, axis_names=tuple(axis_names) + ("seq",))
     grid = np.asarray(devices).reshape(n // tp, tp)
     return Mesh(grid, axis_names=tuple(axis_names))

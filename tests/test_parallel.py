@@ -344,3 +344,188 @@ def test_detailed_eval_on_mesh_sharded_and_equal():
     np.testing.assert_array_equal(
         det_mesh["confusion_matrix"], det_single["confusion_matrix"]
     )
+
+
+# --- Sequence parallelism (parallel/sequence.py) ---------------------------
+
+
+class TestSequenceParallel:
+    """SP windowed attention: halo-exchange shard_map band vs the
+    single-device oracle (ops/window). The op is exact — including the
+    reference's circular edge rule (left-edge windows pad with key S-1,
+    right-edge with key 0, models/mhla.py:72-79), which SP reproduces by
+    psum-broadcasting the two global edge rows."""
+
+    @pytest.mark.parametrize("n,s", [(2, 64), (4, 65), (8, 197)])
+    def test_matches_oracle_fwd_and_grad(self, n, s):
+        from focused_attention_vit_tpu.parallel.sequence import (
+            sp_windowed_attention,
+        )
+        from focused_attention_vit_tpu.ops.window import (
+            _shift_banded_attention,
+        )
+        from jax.sharding import Mesh
+
+        rng = np.random.default_rng(0)
+        b, h, d, w = 2, 3, 8, 7
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+            for _ in range(3)
+        )
+        mesh = Mesh(np.array(jax.devices()[:n]), ("seq",))
+
+        got = jax.jit(
+            lambda q, k, v: sp_windowed_attention(q, k, v, w, mesh)
+        )(q, k, v)
+        want = _shift_banded_attention(q, k, v, w)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5
+        )
+
+        g_sp = jax.jit(
+            jax.grad(
+                lambda q, k, v: (
+                    sp_windowed_attention(q, k, v, w, mesh) ** 2
+                ).sum(),
+                argnums=(0, 1, 2),
+            )
+        )(q, k, v)
+        g_or = jax.grad(
+            lambda q, k, v: (_shift_banded_attention(q, k, v, w) ** 2).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b_ in zip(g_sp, g_or):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-4
+            )
+
+    def test_shard_too_small_raises(self):
+        from focused_attention_vit_tpu.parallel.sequence import (
+            sp_windowed_attention,
+        )
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("seq",))
+        q = jnp.zeros((1, 1, 17, 8))  # ceil(17/8)=3 < W=7
+        with pytest.raises(ValueError, match="too small"):
+            sp_windowed_attention(q, q, q, 7, mesh)
+
+    def test_model_forward_and_grads_match_unsharded(self):
+        """VisionTransformerMHLA(sp_mesh=...) on a ('data','seq') mesh ==
+        the unsharded model, fwd + grads (dropout off)."""
+        from jax.sharding import Mesh
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(4, 56, 56, 3)).astype(np.float32))
+        kw = dict(
+            img_size=56, patch_size=4, num_classes=10, embed_dim=32,
+            depth=2, num_heads=4, window_size=7, use_mhla=True,
+        )
+        base = fmodels.VisionTransformerMHLA(**kw)
+        params = base.init(jax.random.PRNGKey(0), x[:1])
+        ref = jax.jit(lambda p, x: base.apply(p, x))(params, x)
+
+        mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "seq"))
+        sp_model = fmodels.VisionTransformerMHLA(**kw, sp_mesh=mesh)
+        got = jax.jit(lambda p, x: sp_model.apply(p, x))(params, x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-4
+        )
+
+        def loss(model):
+            return lambda p, x: (model.apply(p, x) ** 2).sum()
+
+        g_ref = jax.jit(jax.grad(loss(base)))(params, x)
+        g_sp = jax.jit(jax.grad(loss(sp_model)))(params, x)
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=5e-4
+            ),
+            g_ref,
+            g_sp,
+        )
+
+    def test_sp_train_step_trajectory_matches_single_device(self):
+        """Two sharded AdamW steps on a ('data','seq') mesh produce the
+        same parameters as the unsharded step (dropout off, same data)."""
+        from jax.sharding import Mesh
+
+        kw = dict(
+            img_size=56, patch_size=4, num_classes=5, embed_dim=32,
+            depth=2, num_heads=4, window_size=7, use_mhla=True,
+        )
+        rng = np.random.default_rng(1)
+        x_u8 = jnp.asarray(
+            rng.integers(0, 255, size=(8, 56, 56, 3)), dtype=jnp.uint8
+        )
+        y = jnp.asarray(rng.integers(0, 5, size=(8,)))
+        sample = jnp.zeros((1, 56, 56, 3), jnp.float32)
+
+        mesh = make_mesh(8, tp=1, sp=4)
+        assert mesh.axis_names == ("data", "model", "seq")
+        sp_model = fmodels.VisionTransformerMHLA(**kw, sp_mesh=mesh)
+        base = fmodels.VisionTransformerMHLA(**kw)
+        params0 = base.init(jax.random.PRNGKey(0), sample)["params"]
+        tx = optax.adamw(1e-3)
+
+        def run(model, use_mesh):
+            params = jax.tree.map(jnp.copy, params0)
+            if use_mesh:
+                params = shard_params(params, mesh)
+                opt_state = tx.init(params)
+                step = make_sharded_train_step(
+                    model, tx, mesh, img_size=56, augment=False
+                )
+                xs = jax.device_put(x_u8, NamedSharding(mesh, P("data")))
+                ys = jax.device_put(y, NamedSharding(mesh, P("data")))
+                key = jax.device_put(
+                    jax.random.PRNGKey(0), NamedSharding(mesh, P())
+                )
+            else:
+                opt_state = tx.init(params)
+                step = make_sharded_train_step(
+                    model,
+                    tx,
+                    make_mesh(1),
+                    img_size=56,
+                    augment=False,
+                )
+                xs, ys, key = x_u8, y, jax.random.PRNGKey(0)
+            for _ in range(2):
+                params, opt_state, m = step(params, opt_state, xs, ys, key)
+            return params, float(m["loss"])
+
+        p_sp, loss_sp = run(sp_model, True)
+        p_1, loss_1 = run(base, False)
+        assert np.isfinite(loss_sp)
+        np.testing.assert_allclose(loss_sp, loss_1, atol=1e-5)
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-5
+            ),
+            p_sp,
+            p_1,
+        )
+
+    def test_sp_band_dropout_trains_finite(self):
+        """Train-mode attention-weight dropout under SP (per-shard folded
+        keys) produces finite outputs that differ from deterministic."""
+        from jax.sharding import Mesh
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 56, 56, 3)).astype(np.float32))
+        mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "seq"))
+        model = fmodels.VisionTransformerMHLA(
+            img_size=56, patch_size=4, num_classes=10, embed_dim=32,
+            depth=2, num_heads=4, window_size=7, use_mhla=True,
+            attn_dropout=0.3, sp_mesh=mesh,
+        )
+        params = model.init(jax.random.PRNGKey(0), x[:1])
+        det = jax.jit(lambda p, x: model.apply(p, x))(params, x)
+        out = jax.jit(
+            lambda p, x: model.apply(
+                p, x, False, rngs={"dropout": jax.random.PRNGKey(7)}
+            )
+        )(params, x)
+        assert np.isfinite(np.asarray(out)).all()
+        assert np.abs(np.asarray(out) - np.asarray(det)).max() > 1e-6
