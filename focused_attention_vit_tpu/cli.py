@@ -116,6 +116,12 @@ def parse_args(argv=None):
                              "token axis; windowed MHLA attention exchanges "
                              "a W//2-row halo over ICI "
                              "(parallel/sequence.py). MHLA models only")
+    parser.add_argument("--pp", type=int, default=1,
+                        help="Pipeline-parallel ('stage') axis size; must "
+                             "divide --num_devices (with --tp/--sp) and "
+                             "the depth. GPipe fill-drain over the block "
+                             "stack (parallel/pipeline.py); requires "
+                             "--scan_layers")
     parser.add_argument("--microbatch", type=int, default=None,
                         help="Gradient-accumulation chunk inside the jitted "
                              "train step (identical batch math; smaller "
@@ -157,6 +163,7 @@ def _common_kwargs(args):
         num_devices=args.num_devices,
         tp=args.tp,
         sp=args.sp,
+        pp=args.pp,
         microbatch=args.microbatch,
     )
 

@@ -89,6 +89,10 @@ class ExperimentBase:
     # activations and the windowed attention's halo-exchange band
     # (parallel/sequence.py) — MHLA-family models only.
     sp: int = 1
+    # 'stage' (pipeline-parallel) axis size: shards the block stack over
+    # pipeline stages (GPipe fill-drain, parallel/pipeline.py). Requires
+    # --scan_layers (the pipeline consumes the stacked block params).
+    pp: int = 1
     # Gradient-accumulation chunk inside the jitted step. None = auto
     # (16 on a single device — measured +66% ViT-B/16 throughput on v5e,
     # see BASELINE.md roofline; off on a mesh where the per-device batch is
@@ -184,6 +188,21 @@ class ExperimentBase:
                     f"support (dense attention is not window-local)"
                 )
             self.model = self.model.clone(sp_mesh=self.mesh, sp_axis="seq")
+        if self.mesh is not None and "stage" in self.mesh.axis_names:
+            # Pipeline parallelism: blocks sharded over 'stage'
+            # (parallel/pipeline.py). Needs the scan-form stacked params.
+            if not hasattr(self.model, "pp_mesh"):
+                raise ValueError(
+                    f"--pp not supported by {type(self.model).__name__}"
+                )
+            if not getattr(self.model, "scan_layers", False):
+                raise ValueError(
+                    "--pp requires the scan-form block stack: pass "
+                    "--scan_layers (random-init experiments; pretrained "
+                    "experiments build loop-form params — convert with "
+                    "layers.stack_block_params)"
+                )
+            self.model = self.model.clone(pp_mesh=self.mesh)
 
         rng = jax.random.PRNGKey(self.seed)
         sample = self._sample_batch()
@@ -235,16 +254,17 @@ class ExperimentBase:
         training is requested (--num_devices / --tp / --sp). The reference
         has no distributed layer (SURVEY.md §2.4); this is the TPU-native
         DP/TP/SP addition."""
-        if not self.num_devices and self.tp <= 1 and self.sp <= 1:
+        if (not self.num_devices and self.tp <= 1 and self.sp <= 1
+                and self.pp <= 1):
             return None
         from focused_attention_vit_tpu.parallel import make_mesh
 
         n = self.num_devices
         if n is None or n <= 0:
             n = len(jax.devices())
-        if n == 1 and self.tp <= 1 and self.sp <= 1:
+        if n == 1 and self.tp <= 1 and self.sp <= 1 and self.pp <= 1:
             return None
-        mesh = make_mesh(n, tp=self.tp, sp=self.sp)
+        mesh = make_mesh(n, tp=self.tp, sp=self.sp, pp=self.pp)
         dp = mesh.shape["data"]
         if self.batch_size % dp:
             raise ValueError(

@@ -736,6 +736,44 @@ def scanned_blocks(block_cls, depth: int, remat: bool, name: str,
     return scan(name=name)
 
 
+def apply_pipelined_blocks(model, template, x, deterministic: bool):
+    """Run the model's scan-form stacked block params through the SPMD
+    pipeline (parallel/pipeline.spmd_pipeline) over ``model.pp_mesh``.
+
+    ``template`` is an UNBOUND block module constructed with the same
+    kwargs as the scanned blocks, applied functionally per layer — the
+    parameters are exactly the ``scan_layers`` stacked form
+    (``blocks/block`` with a leading depth axis), so checkpoints are
+    interchangeable between the scanned and pipelined execution paths.
+    """
+    import jax as _jax
+
+    from focused_attention_vit_tpu.parallel.pipeline import spmd_pipeline
+
+    stacked = model.blocks_scan.variables["params"]["block"]
+
+    def apply_block(p, xx, key):
+        rngs = None if key is None else {"dropout": key}
+        return template.apply({"params": p}, xx, deterministic, rngs=rngs)
+
+    if model.remat:
+        apply_block = _jax.checkpoint(apply_block)
+    key = None
+    if not deterministic and (
+        model.dropout > 0 or model.attn_dropout > 0
+    ):
+        key = model.make_rng("dropout")
+    return spmd_pipeline(
+        apply_block,
+        stacked,
+        x,
+        model.pp_mesh,
+        axis=model.pp_axis,
+        microbatches=model.pp_microbatches,
+        dropout_key=key,
+    )
+
+
 def stack_block_params(params: dict, depth: int, prefix: str = "blocks_",
                        scan_name: str = "blocks") -> dict:
     """Loop-form params (``blocks_0..blocks_{depth-1}``) → scan-form

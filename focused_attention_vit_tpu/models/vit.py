@@ -54,6 +54,12 @@ class VisionTransformer(nn.Module):
     # geometry"). Param layout differs from the loop form; convert with
     # layers.stack_block_params / unstack_block_params.
     scan_layers: bool = False
+    # Pipeline parallelism over ``pp_axis`` of ``pp_mesh`` (GPipe
+    # fill-drain, parallel/pipeline.py); requires scan_layers=True —
+    # consumes the scan-form stacked block params.
+    pp_mesh: Optional[object] = None  # jax.sharding.Mesh
+    pp_axis: str = "stage"
+    pp_microbatches: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -61,6 +67,11 @@ class VisionTransformer(nn.Module):
         return (self.img_size // self.patch_size) ** 2
 
     def setup(self):
+        if self.pp_mesh is not None and not self.scan_layers:
+            raise ValueError(
+                "pp_mesh (pipeline parallelism) requires scan_layers=True "
+                "(the pipeline consumes the stacked block params)"
+            )
         self.patch_embed = PatchEmbedding(
             patch_size=self.patch_size,
             embed_dim=self.embed_dim,
@@ -119,7 +130,27 @@ class VisionTransformer(nn.Module):
         x = jnp.concatenate([cls, x], axis=1)
         x = x + self.pos_embed.astype(x.dtype)
         x = self.pos_drop(x, deterministic=deterministic)
-        if self.scan_layers:
+        if self.pp_mesh is not None and not self.is_initializing():
+            from focused_attention_vit_tpu.models.layers import (
+                apply_pipelined_blocks,
+            )
+
+            x = apply_pipelined_blocks(
+                self,
+                TransformerBlock(
+                    embed_dim=self.embed_dim,
+                    num_heads=self.num_heads,
+                    mlp_ratio=self.mlp_ratio,
+                    dropout=self.dropout,
+                    attn_dropout=self.attn_dropout,
+                    use_flash=self.use_flash,
+                    dtype=self.dtype,
+                    parent=None,  # unbound template, applied functionally
+                ),
+                x,
+                deterministic,
+            )
+        elif self.scan_layers:
             x, _ = self.blocks_scan(x, deterministic)
         else:
             for block in self.blocks:

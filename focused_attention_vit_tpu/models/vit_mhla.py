@@ -44,6 +44,13 @@ class VisionTransformerMHLA(nn.Module):
     # parallel/sequence.py). MHLA only (dense MHA is not window-local).
     sp_mesh: Optional[object] = None  # jax.sharding.Mesh
     sp_axis: str = "seq"
+    # Pipeline parallelism: blocks sharded over ``pp_axis`` of ``pp_mesh``
+    # (GPipe fill-drain schedule, parallel/pipeline.py). Requires
+    # ``scan_layers=True`` — the pipeline consumes the scan-form stacked
+    # block params, so checkpoints are interchangeable.
+    pp_mesh: Optional[object] = None  # jax.sharding.Mesh
+    pp_axis: str = "stage"
+    pp_microbatches: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -51,6 +58,11 @@ class VisionTransformerMHLA(nn.Module):
         return (self.img_size // self.patch_size) ** 2
 
     def setup(self):
+        if self.pp_mesh is not None and not self.scan_layers:
+            raise ValueError(
+                "pp_mesh (pipeline parallelism) requires scan_layers=True "
+                "(the pipeline consumes the stacked block params)"
+            )
         self.patch_embed = PatchEmbedding(
             patch_size=self.patch_size,
             embed_dim=self.embed_dim,
@@ -131,7 +143,31 @@ class VisionTransformerMHLA(nn.Module):
                 x,
                 NamedSharding(self.sp_mesh, P(batch_axis, self.sp_axis, None)),
             )
-        if self.scan_layers:
+        if self.pp_mesh is not None and not self.is_initializing():
+            from focused_attention_vit_tpu.models.layers import (
+                apply_pipelined_blocks,
+            )
+
+            x = apply_pipelined_blocks(
+                self,
+                SwitchableTransformerBlock(
+                    embed_dim=self.embed_dim,
+                    num_heads=self.num_heads,
+                    window_size=self.window_size,
+                    mlp_ratio=self.mlp_ratio,
+                    dropout=self.dropout,
+                    attn_dropout=self.attn_dropout,
+                    use_mhla=self.use_mhla,
+                    use_flash=self.use_flash,
+                    sp_mesh=self.sp_mesh,
+                    sp_axis=self.sp_axis,
+                    dtype=self.dtype,
+                    parent=None,  # unbound template, applied functionally
+                ),
+                x,
+                deterministic,
+            )
+        elif self.scan_layers:
             x, _ = self.blocks_scan(x, deterministic)
         else:
             for block in self.blocks:

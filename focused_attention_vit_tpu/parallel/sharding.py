@@ -74,10 +74,32 @@ def param_sharding_rules(params: Mapping[str, Any], mesh: Mesh):
             str(getattr(p, "key", getattr(p, "idx", ""))) for p in path
         )
 
+    class _Inner:
+        """Shape proxy for the per-layer view of a stacked leaf."""
+
+        def __init__(self, shape):
+            self.shape = shape
+
     def rule(path, leaf) -> P:
-        spec = _rule_for(path_str(path), leaf)
+        p = path_str(path)
+        ndim = len(leaf.shape) if hasattr(leaf, "shape") else 0
+        if (
+            "stage" in mesh.axis_names
+            and "/block/" in f"/{p}/"
+            and ndim >= 1
+        ):
+            # Scan-form stacked block params under pipeline parallelism:
+            # the leading depth axis shards over 'stage' (each stage holds
+            # only its own layers — parallel/pipeline.py), composed with
+            # the per-layer TP rule on the remaining dims.
+            inner = _rule_for(p, _Inner(leaf.shape[1:]))
+            spec = P("stage", *inner)
+            if _fits(spec, leaf, mesh):
+                return spec
+            spec = P("stage", *([None] * (ndim - 1)))
+            return spec if _fits(spec, leaf, mesh) else P(*([None] * ndim))
+        spec = _rule_for(p, leaf)
         if not _fits(spec, leaf, mesh):
-            ndim = len(leaf.shape) if hasattr(leaf, "shape") else 0
             return P(*([None] * ndim)) if ndim else P()
         return spec
 

@@ -529,3 +529,183 @@ class TestSequenceParallel:
         )(params, x)
         assert np.isfinite(np.asarray(out)).all()
         assert np.abs(np.asarray(out) - np.asarray(det)).max() > 1e-6
+
+
+# --- Pipeline parallelism (parallel/pipeline.py) ---------------------------
+
+
+class TestPipelineParallel:
+    """GPipe-style SPMD pipeline over a 'stage' mesh axis: stacked
+    (scan-form) block params sharded by layer, microbatches rotating by
+    ppermute. Forward is bit-identical to the sequential scan (same
+    microbatch decomposition — batch-independent layers); backward flows
+    through the ppermute transposes (the reverse pipeline for free)."""
+
+    KW = dict(
+        img_size=32, patch_size=4, num_classes=10, embed_dim=32, depth=4,
+        num_heads=4, window_size=7, use_mhla=True, scan_layers=True,
+    )
+
+    def _data(self):
+        rng = np.random.default_rng(0)
+        return jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+
+    def test_raw_pipeline_matches_sequential(self):
+        from focused_attention_vit_tpu.parallel.pipeline import spmd_pipeline
+        from jax.sharding import Mesh
+
+        rng = np.random.default_rng(0)
+        depth, b, s, dm = 8, 8, 12, 16
+        x = jnp.asarray(rng.normal(size=(b, s, dm)).astype(np.float32))
+        params = {
+            "w": jnp.asarray(
+                rng.normal(size=(depth, dm, dm)).astype(np.float32) * 0.1
+            ),
+            "b": jnp.asarray(
+                rng.normal(size=(depth, dm)).astype(np.float32) * 0.1
+            ),
+        }
+
+        def apply_block(p, xx, key):
+            return jnp.tanh(xx @ p["w"] + p["b"]) + xx
+
+        def seq(params, x):
+            out, _ = jax.lax.scan(
+                lambda c, p: (apply_block(p, c, None), None), x, params
+            )
+            return out
+
+        want = jax.jit(seq)(params, x)
+        for n, m in [(2, 2), (4, 8), (8, 8)]:
+            mesh = Mesh(np.array(jax.devices()[:n]), ("stage",))
+            got = jax.jit(
+                lambda p, x: spmd_pipeline(
+                    apply_block, p, x, mesh, microbatches=m
+                )
+            )(params, x)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-5
+            )
+            g1 = jax.jit(jax.grad(lambda p: (seq(p, x) ** 2).sum()))(params)
+            g2 = jax.jit(
+                jax.grad(
+                    lambda p: (
+                        spmd_pipeline(
+                            apply_block, p, x, mesh, microbatches=m
+                        )
+                        ** 2
+                    ).sum()
+                )
+            )(params)
+            for a, b_ in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b_), atol=1e-3
+                )
+
+    def test_pp_model_matches_scan_model(self):
+        from jax.sharding import Mesh
+
+        x = self._data()
+        base = fmodels.VisionTransformerMHLA(**self.KW)
+        params = base.init(jax.random.PRNGKey(0), x[:1])
+        ref = jax.jit(lambda p, x: base.apply(p, x))(params, x)
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("stage",))
+        pp = fmodels.VisionTransformerMHLA(**self.KW, pp_mesh=mesh)
+        got = jax.jit(lambda p, x: pp.apply(p, x))(params, x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-5
+        )
+
+        g_ref = jax.jit(
+            jax.grad(lambda p: (base.apply(p, x) ** 2).sum())
+        )(params)
+        g_pp = jax.jit(jax.grad(lambda p: (pp.apply(p, x) ** 2).sum()))(
+            params
+        )
+        for a, b_ in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pp)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-3
+            )
+
+    def test_pp_requires_scan_layers(self):
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("stage",))
+        model = fmodels.VisionTransformerMHLA(
+            **{**self.KW, "scan_layers": False}, pp_mesh=mesh
+        )
+        with pytest.raises(ValueError, match="scan_layers"):
+            model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+            )
+
+    def test_stage_sharding_rules_shard_block_stack(self):
+        mesh = make_mesh(8, tp=2, pp=2)
+        assert mesh.axis_names == ("data", "model", "stage")
+        model = fmodels.VisionTransformerMHLA(
+            **{**self.KW, "embed_dim": 64}
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+        )["params"]
+        rules = param_sharding_rules(params, mesh)
+        assert rules["blocks"]["block"]["mlp"]["fc1"]["kernel"] == P(
+            "stage", None, "model"
+        )
+        assert rules["blocks"]["block"]["mlp"]["fc2"]["kernel"] == P(
+            "stage", "model", None
+        )
+        assert rules["blocks"]["block"]["norm1"]["scale"] == P("stage", None)
+        # Non-block params untouched by 'stage'.
+        assert rules["pos_embed"] == P(None, None, None)
+        sharded = shard_params(params, mesh)
+        fc1 = sharded["blocks"]["block"]["mlp"]["fc1"]["kernel"]
+        # depth 4 over 2 stages, hidden 256 over 2-way TP.
+        assert fc1.addressable_shards[0].data.shape == (2, 64, 128)
+
+    def test_pp_train_trajectory_matches_single_device(self):
+        """Two AdamW steps with DP=2 × PP=4 == the unsharded steps."""
+        x_u8 = jnp.asarray(
+            np.random.default_rng(1).integers(0, 255, size=(8, 32, 32, 3)),
+            dtype=jnp.uint8,
+        )
+        y = jnp.asarray(
+            np.random.default_rng(2).integers(0, 10, size=(8,))
+        )
+        mesh = make_mesh(8, tp=1, pp=4)
+        base = fmodels.VisionTransformerMHLA(**self.KW)
+        pp_model = fmodels.VisionTransformerMHLA(**self.KW, pp_mesh=mesh)
+        params0 = base.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+        )["params"]
+        tx = optax.adamw(1e-3)
+
+        def run(model, mesh_):
+            params = shard_params(
+                jax.tree.map(jnp.copy, params0), mesh_
+            )
+            opt_state = tx.init(params)
+            step = make_sharded_train_step(
+                model, tx, mesh_, img_size=32, augment=False
+            )
+            xs = jax.device_put(x_u8, NamedSharding(mesh_, P("data")))
+            ys = jax.device_put(y, NamedSharding(mesh_, P("data")))
+            key = jax.device_put(
+                jax.random.PRNGKey(0), NamedSharding(mesh_, P())
+            )
+            for _ in range(2):
+                params, opt_state, m = step(params, opt_state, xs, ys, key)
+            return params, float(m["loss"])
+
+        p_pp, loss_pp = run(pp_model, mesh)
+        p_1, loss_1 = run(base, make_mesh(1))
+        assert np.isfinite(loss_pp)
+        np.testing.assert_allclose(loss_pp, loss_1, atol=1e-5)
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=5e-5
+            ),
+            p_pp,
+            p_1,
+        )
