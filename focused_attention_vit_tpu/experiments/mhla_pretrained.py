@@ -45,6 +45,7 @@ class PretrainedMHLAViTExperiment(PretrainedMixin, ExperimentBase):
             window_size=self.window_size,
             use_mhla=True,
             remat=self.remat,
+            scan_layers=self.scan_layers,
             dtype=self.jnp_dtype,
         )
 

@@ -96,7 +96,17 @@ class PretrainedMixin:
 
     # ---- ExperimentBase hooks -------------------------------------------
     def build_params(self, model, rng, sample):
-        variables = model.init(rng, sample)
+        # Pretrained checkpoints and the surgery transforms are loop-form
+        # (blocks_0..blocks_{depth-1}); with --scan_layers (or --pp, which
+        # needs the scan-form stacked stack) init/merge in loop form and
+        # stack at the end.
+        scan_form = bool(getattr(model, "scan_layers", False))
+        init_model = (
+            model.clone(scan_layers=False, pp_mesh=None)
+            if scan_form
+            else model
+        )
+        variables = init_model.init(rng, sample)
         init_params = variables["params"]
 
         ckpt, _cfg = load_pretrained_vit_params(
@@ -117,6 +127,12 @@ class PretrainedMixin:
                 copied, skipped,
             )
 
+        if scan_form:
+            from focused_attention_vit_tpu.models.layers import (
+                stack_block_params,
+            )
+
+            params = stack_block_params(params, self.depth)
         self._record_param_counts(params)
         return params
 

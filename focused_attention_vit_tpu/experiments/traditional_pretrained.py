@@ -34,6 +34,7 @@ class PretrainedTraditionalViTExperiment(PretrainedMixin, ExperimentBase):
             attn_dropout=self.attn_dropout,
             embed_dropout=self.embed_dropout,
             remat=self.remat,
+            scan_layers=self.scan_layers,
             dtype=self.jnp_dtype,
         )
 

@@ -10,6 +10,8 @@ Both are targets of the torch→JAX weight-conversion path
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -38,6 +40,10 @@ class PretrainedViTWithMHLA(nn.Module):
     dropout: float = 0.0
     attn_dropout: float = 0.0
     embed_dropout: float = 0.0
+    # Sequence parallelism (parallel/sequence.py) — this model's default
+    # geometry is the long-S one (patch 4 → S=3137).
+    sp_mesh: Optional[object] = None  # jax.sharding.Mesh
+    sp_axis: str = "seq"
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -69,6 +75,8 @@ class PretrainedViTWithMHLA(nn.Module):
                 mlp_ratio=self.mlp_ratio,
                 dropout=self.dropout,
                 attn_dropout=self.attn_dropout,
+                sp_mesh=self.sp_mesh,
+                sp_axis=self.sp_axis,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )
@@ -90,6 +98,20 @@ class PretrainedViTWithMHLA(nn.Module):
         x = jnp.concatenate([cls, x], axis=1)
         x = x + self.pos_embed.astype(x.dtype)
         x = self.pos_drop(x, deterministic=deterministic)
+        if self.sp_mesh is not None and not self.is_initializing():
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_axis = (
+                "data"
+                if "data" in self.sp_mesh.axis_names
+                and x.shape[0] % self.sp_mesh.shape["data"] == 0
+                else None
+            )
+            x = jax.lax.with_sharding_constraint(
+                x,
+                NamedSharding(self.sp_mesh, P(batch_axis, self.sp_axis, None)),
+            )
         for block in self.blocks:
             x = block(x, deterministic=deterministic)
         x = self.norm(x)

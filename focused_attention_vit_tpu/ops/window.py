@@ -295,19 +295,22 @@ def _shift_banded_attention(
     """
     b, h, s, d = q.shape
     w = window_size
-    qf = q.astype(jnp.float32)
 
     kp = _halo_pad(k, w, axis=2)
     vp = _halo_pad(v, w, axis=2)
 
+    # Products at the input dtype with f32 accumulation
+    # (preferred_element_type) — in bf16 training this halves the band's
+    # HBM bytes vs materialized f32 casts of Q and every K slice
+    # (measured +0.7 img/s at S=3137 b32, BASELINE.md "attack #3");
+    # in f32 eval it is bit-identical to the explicit-cast form.
     logits = jnp.stack(
         [
             jnp.einsum(
                 "bhsd,bhsd->bhs",
-                qf,
-                jax.lax.dynamic_slice_in_dim(kp, o, s, axis=2).astype(
-                    jnp.float32
-                ),
+                q,
+                jax.lax.dynamic_slice_in_dim(kp, o, s, axis=2),
+                preferred_element_type=jnp.float32,
             )
             for o in range(w)
         ],
@@ -319,7 +322,8 @@ def _shift_banded_attention(
         weights = weights_transform(weights)
     out = sum(
         # Static slice + free reshape [B,h,1,S]→[B,h,S,1] (integer
-        # indexing would lower to a gather).
+        # indexing would lower to a gather). Weighted V sum accumulates in
+        # f32 (weights are f32; V upcast fuses into the multiply).
         jax.lax.slice_in_dim(weights, o, o + 1, axis=2).reshape(b, h, s, 1)
         * jax.lax.dynamic_slice_in_dim(vp, o, s, axis=2).astype(jnp.float32)
         for o in range(w)

@@ -293,3 +293,28 @@ def test_slic_connectivity_flag_mapping(dirs):
     e.slic_connectivity = "bogus"
     with pytest.raises(ValueError):
         e._slic_connectivity()
+
+
+def test_mhla_pretrained_scan_layers_pp(dirs):
+    """--scan_layers on a pretrained experiment: loop-form merge is stacked
+    to the scan form (pretrained_common.build_params), enabling --pp; a
+    DP×PP run trains and writes the reference CSV."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 simulated devices")
+    e = exp.PretrainedMHLAViTExperiment(
+        **{**TINY, "depth": 2, "batch_size": 8, "subset_size": 16},
+        **dirs,
+        window_size=5,
+        scan_layers=True,
+        num_devices=4,
+        pp=2,
+    )
+    e.run()
+    # Scan-form stacked params with a leading depth axis.
+    blk = e.state.params["blocks"]["block"]
+    assert blk["mlp"]["fc1"]["kernel"].shape[0] == 2
+    assert os.path.exists(
+        os.path.join(dirs["results_dir"], "exp4_pretrained_mhla.csv")
+    )
