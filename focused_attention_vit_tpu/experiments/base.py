@@ -254,6 +254,12 @@ class ExperimentBase:
         training is requested (--num_devices / --tp / --sp). The reference
         has no distributed layer (SURVEY.md §2.4); this is the TPU-native
         DP/TP/SP addition."""
+        if self.sp > 1 and self.pp > 1:
+            raise NotImplementedError(
+                "--sp and --pp cannot be combined (nested manual regions; "
+                "see models/vit_mhla.py) — pick one; both compose with "
+                "--num_devices DP and --tp"
+            )
         if (not self.num_devices and self.tp <= 1 and self.sp <= 1
                 and self.pp <= 1):
             return None

@@ -63,6 +63,14 @@ class VisionTransformerMHLA(nn.Module):
                 "pp_mesh (pipeline parallelism) requires scan_layers=True "
                 "(the pipeline consumes the stacked block params)"
             )
+        if self.pp_mesh is not None and self.sp_mesh is not None:
+            raise NotImplementedError(
+                "sp_mesh and pp_mesh cannot be combined: the halo-exchange "
+                "attention would need a shard_map nested inside the "
+                "pipeline's manual region, which the SPMD lowering does "
+                "not support (axis re-binding). Pick SP (long-S scaling) "
+                "or PP (depth scaling); both compose with DP and TP."
+            )
         self.patch_embed = PatchEmbedding(
             patch_size=self.patch_size,
             embed_dim=self.embed_dim,

@@ -210,6 +210,16 @@ def sp_windowed_attention(
     def padded(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
 
+    # Nested-manual support (e.g. SP attention inside the PP pipeline's
+    # shard_map): an enclosing shard_map establishes a context mesh with
+    # its axes marked Manual, and the inner shard_map must be built
+    # against THAT abstract mesh, not the concrete one.
+    ctx = jax.sharding.get_abstract_mesh()
+    shmap_mesh = (
+        ctx
+        if (ctx is not None and axis in getattr(ctx, "axis_names", ()))
+        else mesh
+    )
     spec = P(None, None, axis, None)
     local = partial(
         _sp_band_local,
@@ -222,7 +232,7 @@ def sp_windowed_attention(
     if dropout_key is not None:
         f = jax.shard_map(
             local,
-            mesh=mesh,
+            mesh=shmap_mesh,
             in_specs=(spec, spec, spec, P()),
             out_specs=spec,
             axis_names={axis},
@@ -231,7 +241,7 @@ def sp_windowed_attention(
     else:
         f = jax.shard_map(
             lambda q_, k_, v_: local(q_, k_, v_, None),
-            mesh=mesh,
+            mesh=shmap_mesh,
             in_specs=(spec, spec, spec),
             out_specs=spec,
             axis_names={axis},

@@ -709,3 +709,13 @@ class TestPipelineParallel:
             p_pp,
             p_1,
         )
+
+    def test_sp_pp_combination_raises(self):
+        """SP×PP would nest manual regions (unsupported by the SPMD
+        lowering) — pinned as a loud NotImplementedError."""
+        mesh = make_mesh(8, tp=1, sp=2, pp=2)
+        model = fmodels.VisionTransformerMHLA(
+            **self.KW, sp_mesh=mesh, pp_mesh=mesh
+        )
+        with pytest.raises(NotImplementedError, match="cannot be combined"):
+            model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
