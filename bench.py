@@ -201,15 +201,16 @@ def main():
         s3137["s3137_dense_images_per_sec_fwd_bwd"] = round(
             bench_train(VisionTransformer(**b4), 32, 224, microbatch=0), 2
         )
-        # scan_layers (lax.scan over depth, --scan_layers in the CLI) is
-        # the measured-best config at this geometry: 30.3 vs 28.2 img/s
-        # (BASELINE.md "S=3137 attack #2").
+        # scan_layers + microbatch 8: the measured-best config at this
+        # geometry — 36.6 vs 33.8 (mb16) / 30.3 (monolithic) img/s
+        # (BASELINE.md "S=3137 attack #3"); the auto-microbatch rule in
+        # experiments/mhla_pretrained.py mirrors this.
         s3137["s3137_mhla_images_per_sec_fwd_bwd"] = round(
             bench_train(
                 VisionTransformerMHLA(
                     **b4, window_size=7, use_mhla=True, scan_layers=True
                 ),
-                32, 224, microbatch=0,
+                32, 224, microbatch=8,
             ), 2
         )
 

@@ -235,6 +235,10 @@ class ExperimentBase:
             self.img_size, compute_dtype=self.jnp_dtype, mesh=self.mesh
         )
 
+    def _auto_microbatch_value(self) -> Optional[int]:
+        """Geometry-aware auto-microbatch hook (subclasses override)."""
+        return self.auto_microbatch
+
     def _effective_microbatch(self) -> Optional[int]:
         mb = self.microbatch
         if mb == 0:
@@ -244,7 +248,7 @@ class ExperimentBase:
             # per-device batch.
             if self.mesh is not None:
                 return None
-            mb = self.auto_microbatch
+            mb = self._auto_microbatch_value()
         if not mb:
             return None
         return mb if (self.batch_size > mb and self.batch_size % mb == 0) else None

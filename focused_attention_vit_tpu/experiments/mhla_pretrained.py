@@ -29,6 +29,15 @@ class PretrainedMHLAViTExperiment(PretrainedMixin, ExperimentBase):
     # again (977 vs 715 img/s on the flagship, BASELINE.md round 3).
     auto_microbatch: "int | None" = 16
 
+    def _auto_microbatch_value(self):
+        # Long S (shift-band path): measured best at microbatch 8 —
+        # 36.6 vs 33.8 (mb16) vs 30.3 (monolithic) img/s at S=3137 b32
+        # (BASELINE.md "S=3137 attack #3").
+        from focused_attention_vit_tpu.ops.window import DENSE_BAND_MAX_SEQ
+
+        s = (self.img_size // self.patch_size) ** 2 + 1
+        return 8 if s > DENSE_BAND_MAX_SEQ else self.auto_microbatch
+
     def build_model(self):
         return VisionTransformerMHLA(
             img_size=self.img_size,

@@ -135,16 +135,14 @@ def _sp_band_local(
 
     # Local shift band — identical math to the single-device production
     # path (ops/window._shift_banded_attention), S-minor [B, h, W, L]
-    # weights layout.
-    qf = q_l.astype(jnp.float32)
+    # weights layout; products at input dtype, f32 accumulation.
     logits = jnp.stack(
         [
             jnp.einsum(
                 "bhsd,bhsd->bhs",
-                qf,
-                jax.lax.dynamic_slice_in_dim(kp, o, L, axis=2).astype(
-                    jnp.float32
-                ),
+                q_l,
+                jax.lax.dynamic_slice_in_dim(kp, o, L, axis=2),
+                preferred_element_type=jnp.float32,
             )
             for o in range(w)
         ],

@@ -318,3 +318,16 @@ def test_mhla_pretrained_scan_layers_pp(dirs):
     assert os.path.exists(
         os.path.join(dirs["results_dir"], "exp4_pretrained_mhla.csv")
     )
+
+
+def test_mhla_auto_microbatch_geometry_rule(dirs):
+    """MHLA experiments: auto-microbatch is 16 at short S (dense band
+    path) and 8 at long S (shift band path) — BASELINE.md attack #3."""
+    e = exp.PretrainedMHLAViTExperiment(**TINY, **dirs)  # img16/p4 → S=17
+    assert e._auto_microbatch_value() == 16
+    e.img_size, e.patch_size = 224, 4  # S=3137
+    assert e._auto_microbatch_value() == 8
+    e.microbatch = None
+    e.mesh = None
+    e.batch_size = 32
+    assert e._effective_microbatch() == 8

@@ -719,3 +719,27 @@ class TestPipelineParallel:
         )
         with pytest.raises(NotImplementedError, match="cannot be combined"):
             model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+
+    def test_pretrained_mhla_model_sp_matches_unsharded(self):
+        """PretrainedViTWithMHLA (M16 — default geometry patch 4, the
+        long-S model) with sp_mesh == unsharded forward."""
+        from jax.sharding import Mesh
+        from focused_attention_vit_tpu.models.mhla_models import (
+            PretrainedViTWithMHLA,
+        )
+
+        kw = dict(
+            img_size=56, patch_size=4, num_classes=10, embed_dim=32,
+            depth=2, num_heads=4, window_size=7,
+        )
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(4, 56, 56, 3)).astype(np.float32))
+        base = PretrainedViTWithMHLA(**kw)
+        params = base.init(jax.random.PRNGKey(0), x[:1])
+        ref = jax.jit(lambda p, x: base.apply(p, x))(params, x)
+        mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "seq"))
+        sp_model = PretrainedViTWithMHLA(**kw, sp_mesh=mesh)
+        got = jax.jit(lambda p, x: sp_model.apply(p, x))(params, x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-4
+        )
