@@ -1,0 +1,352 @@
+"""Dynamic-batching serving front-end.
+
+The reference has no serving path at all — its only inference surface is
+the experiment eval loops (/root/reference/experiments/traditional.py:
+268-301). This module is the TPU-native production-serving layer on top
+of :class:`focused_attention_vit_tpu.infer.Predictor`:
+
+- **One compiled program.** The Predictor's fixed batch shape means the
+  serving path never recompiles; XLA's compile model rewards exactly one
+  program shape (CLAUDE.md: remote compiles cost seconds-to-minutes).
+- **Request coalescing.** Concurrent variable-size requests are packed
+  into full device batches by a background worker — throughput rides
+  batch packing (device img/s is ~flat in batch above ~64 on v5e,
+  BASELINE.md "eval latency"), latency is bounded by ``max_delay_ms``.
+- **Whole-request packing.** A request's images stay in one device batch
+  (simple result routing, no cross-batch reassembly); requests larger
+  than the device batch fall through to ``Predictor.predict_proba``,
+  which chunks internally over the same compiled program.
+
+Thread-safe: ``submit`` may be called from any number of threads; results
+are delivered via :class:`concurrent.futures.Future`.
+
+An stdlib-only HTTP front-end (:class:`HTTPFrontend` + ``python -m
+focused_attention_vit_tpu.serve``) exposes the coalescer over localhost:
+``POST /predict`` with an ``.npy``-serialized uint8 ``[n,h,w,3]`` body
+returns an ``.npy`` of ``[n,C]`` probabilities; ``GET /healthz`` and
+``GET /stats`` give liveness and coalescer counters.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class ServeStats:
+    """Counters for observability (read under no lock — monotonic ints)."""
+
+    requests: int = 0
+    images: int = 0
+    batches: int = 0
+    batched_images: int = 0  # images that went through the coalescer
+    oversize_requests: int = 0  # ran alone via predict_proba chunking
+    fill_sum: float = field(default=0.0)  # Σ per-batch fill fraction
+
+    @property
+    def mean_batch_fill(self) -> float:
+        return self.fill_sum / self.batches if self.batches else 0.0
+
+
+class BatchingServer:
+    """Coalesces concurrent predict requests into full device batches.
+
+    Parameters
+    ----------
+    predictor:
+        A ready :class:`~focused_attention_vit_tpu.infer.Predictor`.
+    max_delay_ms:
+        How long the worker waits to fill a batch after the first request
+        arrives. The p99 added latency of the coalescer.
+    """
+
+    def __init__(self, predictor, *, max_delay_ms: float = 5.0):
+        self._p = predictor
+        self._capacity = int(predictor.batch_size)
+        self._max_delay = max_delay_ms / 1000.0
+        self._lock = threading.Lock()
+        self._nonempty = threading.Condition(self._lock)
+        self._queue: List[Tuple[np.ndarray, Future]] = []
+        self._closed = False
+        self.stats = ServeStats()
+        self._worker = threading.Thread(
+            target=self._run, name="favit-serve", daemon=True
+        )
+        self._worker.start()
+
+    # -- client side -----------------------------------------------------
+
+    def submit(self, images_u8: np.ndarray) -> Future:
+        """Enqueue ``[n, h, w, 3] uint8``; resolves to ``[n, C]`` probs."""
+        images_u8 = np.asarray(images_u8)
+        if images_u8.ndim != 4:
+            raise ValueError(
+                f"expected [n, h, w, c] uint8, got shape {images_u8.shape}"
+            )
+        fut: Future = Future()
+        with self._nonempty:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self.stats.requests += 1
+            self.stats.images += len(images_u8)
+            self._queue.append((images_u8, fut))
+            self._nonempty.notify()
+        return fut
+
+    def predict_proba(self, images_u8: np.ndarray) -> np.ndarray:
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(images_u8).result()
+
+    def close(self, timeout: Optional[float] = 10.0) -> None:
+        """Drain the queue and stop the worker."""
+        with self._nonempty:
+            self._closed = True
+            self._nonempty.notify()
+        self._worker.join(timeout)
+
+    def __enter__(self) -> "BatchingServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- worker side -----------------------------------------------------
+
+    def _take_batch(self) -> Optional[List[Tuple[np.ndarray, Future]]]:
+        """Block for the first request, then pack whole requests until the
+        device batch is full or ``max_delay`` has elapsed."""
+        with self._nonempty:
+            while not self._queue and not self._closed:
+                self._nonempty.wait()
+            if not self._queue:
+                return None  # closed and drained
+            deadline = time.monotonic() + self._max_delay
+            taken: List[Tuple[np.ndarray, Future]] = []
+            n = 0
+            while True:
+                # Pack every queued request that still fits.
+                i = 0
+                while i < len(self._queue):
+                    req_n = len(self._queue[i][0])
+                    if req_n > self._capacity and not taken:
+                        # Oversize request at the head: ship it alone.
+                        return [self._queue.pop(i)]
+                    if n + req_n <= self._capacity:
+                        item = self._queue.pop(i)
+                        taken.append(item)
+                        n += req_n
+                    else:
+                        i += 1
+                remaining = deadline - time.monotonic()
+                if n >= self._capacity or self._closed or remaining <= 0:
+                    return taken
+                self._nonempty.wait(timeout=remaining)
+
+    def _run(self) -> None:
+        while True:
+            batch = self._take_batch()
+            if batch is None:
+                return
+            arrays = [a for a, _ in batch]
+            total = sum(len(a) for a in arrays)
+            try:
+                probs = self._p.predict_proba(np.concatenate(arrays))
+            except Exception as e:  # propagate to every waiting caller
+                for _, fut in batch:
+                    fut.set_exception(e)
+                continue
+            if total > self._capacity:
+                self.stats.oversize_requests += 1
+            else:
+                self.stats.batches += 1
+                self.stats.batched_images += total
+                self.stats.fill_sum += total / self._capacity
+            off = 0
+            for a, fut in batch:
+                fut.set_result(probs[off : off + len(a)])
+                off += len(a)
+
+
+# ---------------------------------------------------------------------------
+# HTTP front-end (stdlib only — zero-egress container, no web framework).
+# ---------------------------------------------------------------------------
+
+
+class HTTPFrontend:
+    """Localhost HTTP inference endpoint over a :class:`BatchingServer`.
+
+    Wire format is numpy's own ``.npy`` serialization both ways (exact,
+    self-describing, no JSON float costs): ``POST /predict`` body =
+    ``np.save`` of a uint8 ``[n, h, w, 3]`` array; 200 response body =
+    ``np.save`` of float32 ``[n, num_classes]`` probabilities.
+    """
+
+    def __init__(self, server: BatchingServer, host: str = "127.0.0.1",
+                 port: int = 0, request_timeout_s: float = 120.0):
+        import http.server
+        import io
+        import json
+
+        srv = server
+        timeout_s = request_timeout_s
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet; stats carry the counters
+                pass
+
+            def _reply(self, code, body: bytes, ctype: str):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._reply(200, b"ok", "text/plain")
+                elif self.path == "/stats":
+                    s = srv.stats
+                    payload = json.dumps(dict(
+                        requests=s.requests, images=s.images,
+                        batches=s.batches, batched_images=s.batched_images,
+                        oversize_requests=s.oversize_requests,
+                        mean_batch_fill=round(s.mean_batch_fill, 4),
+                    )).encode()
+                    self._reply(200, payload, "application/json")
+                else:
+                    self._reply(404, b"not found", "text/plain")
+
+            def do_POST(self):
+                if self.path != "/predict":
+                    self._reply(404, b"not found", "text/plain")
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    arr = np.load(io.BytesIO(self.rfile.read(n)),
+                                  allow_pickle=False)
+                    probs = srv.submit(arr).result(timeout=timeout_s)
+                except (ValueError, RuntimeError) as e:
+                    self._reply(400, str(e).encode(), "text/plain")
+                    return
+                buf = io.BytesIO()
+                np.save(buf, probs)
+                self._reply(200, buf.getvalue(), "application/x-npy")
+
+        self._httpd = http.server.ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address[:2]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, name="favit-http", daemon=True
+        )
+
+    def start(self) -> "HTTPFrontend":
+        self._thread.start()
+        return self
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self._thread.join(timeout=10)
+
+    def __enter__(self) -> "HTTPFrontend":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def _build_model(args):
+    import jax.numpy as jnp
+
+    from focused_attention_vit_tpu.models import (
+        VisionTransformer,
+        VisionTransformerMHLA,
+    )
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    kw = dict(
+        img_size=args.img_size, patch_size=args.patch_size,
+        num_classes=args.num_classes, embed_dim=args.embed_dim,
+        depth=args.depth, num_heads=args.num_heads, dtype=dtype,
+    )
+    if args.model == "vit":
+        return VisionTransformer(**kw)
+    return VisionTransformerMHLA(
+        window_size=args.window_size, use_mhla=True, **kw
+    )
+
+
+def main(argv=None) -> None:
+    """``python -m focused_attention_vit_tpu.serve --checkpoint_dir ...``
+
+    Loads trained params (the sidecar written by train.checkpoint), builds
+    the fixed-shape Predictor (optionally mesh-sharded), and serves HTTP
+    until interrupted. The reference has no equivalent surface.
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description="favit serving front-end")
+    p.add_argument("--checkpoint_dir", type=str, required=True)
+    p.add_argument("--model", choices=["vit", "vit_mhla"], default="vit_mhla")
+    p.add_argument("--img_size", type=int, default=224)
+    p.add_argument("--patch_size", type=int, default=16)
+    p.add_argument("--num_classes", type=int, default=10)
+    p.add_argument("--embed_dim", type=int, default=768)
+    p.add_argument("--depth", type=int, default=12)
+    p.add_argument("--num_heads", type=int, default=12)
+    p.add_argument("--window_size", type=int, default=7)
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--batch_size", type=int, default=64,
+                   help="device batch (the one compiled program shape)")
+    p.add_argument("--max_delay_ms", type=float, default=5.0)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8700)
+    p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--tp", type=int, default=1)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from focused_attention_vit_tpu.infer import Predictor
+    from focused_attention_vit_tpu.utils import compile_cache
+
+    compile_cache.enable()
+    mesh = None
+    if args.num_devices and args.num_devices > 1:
+        from focused_attention_vit_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.num_devices, tp=args.tp)
+    model = _build_model(args)
+    predictor = Predictor.from_checkpoint(
+        model, args.checkpoint_dir,
+        sample_input=jnp.zeros((1, args.img_size, args.img_size, 3)),
+        img_size=args.img_size, batch_size=args.batch_size,
+        compute_dtype=(jnp.bfloat16 if args.compute_dtype == "bfloat16"
+                       else jnp.float32),
+        mesh=mesh,
+    )
+    print(f"compiling (batch {args.batch_size}, {jax.devices()[0].platform})"
+          " ...", flush=True)
+    predictor.warmup()
+    with BatchingServer(predictor, max_delay_ms=args.max_delay_ms) as srv:
+        with HTTPFrontend(srv, host=args.host, port=args.port) as fe:
+            print(f"serving on http://{fe.host}:{fe.port} "
+                  f"(POST /predict, GET /stats, GET /healthz)", flush=True)
+            try:
+                while True:
+                    time.sleep(3600)
+            except KeyboardInterrupt:
+                print("shutting down", flush=True)
+
+
+if __name__ == "__main__":
+    main()
