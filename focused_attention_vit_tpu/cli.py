@@ -72,6 +72,13 @@ def parse_args(argv=None):
     parser.add_argument("--epochs", type=int, default=100)
     parser.add_argument("--learning_rate", type=float, default=1e-4)
     parser.add_argument("--weight_decay", type=float, default=0.05)
+    parser.add_argument("--lr_schedule", type=str, default="constant",
+                        choices=["constant", "cosine"],
+                        help="LR schedule (extension; reference = constant)")
+    parser.add_argument("--warmup_epochs", type=float, default=0.0,
+                        help="Linear LR warmup, in (fractional) epochs")
+    parser.add_argument("--grad_clip_norm", type=float, default=None,
+                        help="Global-norm gradient clipping (extension)")
 
     # Pretrained settings (reference: main.py:135-143)
     parser.add_argument("--pretrained_model_variant", type=str, default="vit_b_16")
@@ -147,6 +154,9 @@ def _common_kwargs(args):
         batch_size=args.batch_size,
         learning_rate=args.learning_rate,
         weight_decay=args.weight_decay,
+        lr_schedule=args.lr_schedule,
+        warmup_epochs=args.warmup_epochs,
+        grad_clip_norm=args.grad_clip_norm,
         epochs=args.epochs,
         device=args.device,
         data_dir=args.data_dir,

@@ -79,6 +79,11 @@ class ExperimentBase:
     detailed_metrics: bool = True  # AUC + confusion matrix at evaluate()
     compute_dtype: str = "float32"  # 'bfloat16' for MXU-native training
     remat: bool = False  # gradient checkpointing for long-sequence configs
+    # LR schedule over the whole run (reference protocol = constant LR,
+    # experiments/traditional.py:152-157; these are opt-in extensions).
+    lr_schedule: str = "constant"  # 'constant' | 'cosine'
+    warmup_epochs: float = 0.0  # linear warmup, in (fractional) epochs
+    grad_clip_norm: Optional[float] = None  # global-norm gradient clipping
     # lax.scan over depth (stacked block params) — the scheduling lever for
     # the S=3137 geometry; random-init experiments only (pretrained loaders
     # produce loop-form params; convert with layers.stack_block_params).
@@ -140,10 +145,30 @@ class ExperimentBase:
         """Default: random init. Pretrained experiments override."""
         return None  # create_train_state will init
 
+    def _steps_per_epoch(self) -> int:
+        n = len(self.data["train_images"]) if getattr(self, "data", None) else 0
+        return max(n // self.batch_size, 1)
+
+    def lr_for(self, base_lr: float):
+        """base LR → float (reference protocol) or schedule (extension)."""
+        from focused_attention_vit_tpu.train.state import make_lr_schedule
+
+        spe = self._steps_per_epoch()
+        return make_lr_schedule(
+            base_lr,
+            kind=self.lr_schedule,
+            total_steps=self.epochs * spe,
+            warmup_steps=int(round(self.warmup_epochs * spe)),
+        )
+
     def build_optimizer(self, params):
         from focused_attention_vit_tpu.train.state import make_adamw
 
-        return make_adamw(self.learning_rate, self.weight_decay)
+        return make_adamw(
+            self.lr_for(self.learning_rate),
+            self.weight_decay,
+            grad_clip_norm=self.grad_clip_norm,
+        )
 
     def theoretical_metrics(self) -> Dict[str, Any]:
         return calculate_vit_complexity(

@@ -176,9 +176,13 @@ class PretrainedMixin:
         return _path_labels(params, self.label_fn)
 
     def build_optimizer(self, params):
+        # Each group's base LR rides the same schedule shape (lr_for is
+        # identity under the reference's constant-LR protocol).
+        group_lrs = {k: self.lr_for(v) for k, v in self.group_lrs().items()}
         return make_grouped_optimizer(
             params,
             self.label_fn,
-            self.group_lrs(),
+            group_lrs,
             weight_decay=self.weight_decay,
+            grad_clip_norm=self.grad_clip_norm,
         )

@@ -21,27 +21,78 @@ under jit.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Mapping
+from typing import Any, Callable, Dict, Mapping, Optional, Union
 
 import jax
 import optax
 from flax.training import train_state
+
+# float base LR or an optax schedule (step -> lr)
+LRLike = Union[float, Callable[[Any], Any]]
 
 
 class TrainState(train_state.TrainState):
     """Standard Flax TrainState (params/opt-state/apply_fn/step)."""
 
 
-def make_adamw(learning_rate: float, weight_decay: float = 0.05):
-    return optax.adamw(learning_rate=learning_rate, weight_decay=weight_decay)
+def make_lr_schedule(
+    base_lr: float,
+    kind: str = "constant",
+    total_steps: int = 0,
+    warmup_steps: int = 0,
+) -> LRLike:
+    """Learning-rate schedule factory (TPU extension — the reference
+    trains at a constant LR, experiments/traditional.py:152-157).
+
+    kind='constant' with warmup_steps=0 returns the bare float so the
+    optimizer stays bit-identical to the reference protocol; any schedule
+    is an optax step->lr callable evaluated inside the jitted update.
+    """
+    if kind not in ("constant", "cosine"):
+        raise ValueError(f"unknown lr schedule '{kind}'")
+    warmup_steps = int(warmup_steps)
+    if kind == "constant":
+        if warmup_steps <= 0:
+            return base_lr
+        return optax.schedules.join_schedules(
+            [
+                optax.schedules.linear_schedule(0.0, base_lr, warmup_steps),
+                optax.schedules.constant_schedule(base_lr),
+            ],
+            boundaries=[warmup_steps],
+        )
+    if total_steps <= warmup_steps:
+        raise ValueError(
+            f"cosine schedule needs total_steps ({total_steps}) > "
+            f"warmup_steps ({warmup_steps})"
+        )
+    return optax.schedules.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=base_lr,
+        warmup_steps=warmup_steps,
+        decay_steps=total_steps,
+        end_value=0.0,
+    )
+
+
+def make_adamw(
+    learning_rate: LRLike,
+    weight_decay: float = 0.05,
+    grad_clip_norm: Optional[float] = None,
+):
+    tx = optax.adamw(learning_rate=learning_rate, weight_decay=weight_decay)
+    if grad_clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
+    return tx
 
 
 def make_grouped_optimizer(
     params: Mapping[str, Any],
     label_fn: Callable[[str], str],
-    group_lrs: Dict[str, float],
+    group_lrs: Dict[str, LRLike],
     weight_decay: float = 0.05,
     frozen_label: str = "frozen",
+    grad_clip_norm: Optional[float] = None,
 ) -> optax.GradientTransformation:
     """Per-group AdamW via optax.multi_transform.
 
@@ -49,15 +100,21 @@ def make_grouped_optimizer(
       params: the model parameter pytree.
       label_fn: maps a top-level-joined parameter path (e.g.
         ``"blocks_3/attn/latent_proj/kernel"``) to a group label.
-      group_lrs: label → learning rate. Labels not present map to
-        ``frozen_label`` and receive no updates.
+      group_lrs: label → learning rate (float or optax schedule). Labels
+        not present map to ``frozen_label`` and receive no updates.
+      grad_clip_norm: optional global-norm clip. Applied OUTSIDE the
+        multi_transform (before group routing) so the norm is computed
+        over the whole gradient tree, not per group.
     """
     labels = _path_labels(params, label_fn)
     transforms = {
         name: make_adamw(lr, weight_decay) for name, lr in group_lrs.items()
     }
     transforms[frozen_label] = optax.set_to_zero()
-    return optax.multi_transform(transforms, labels)
+    tx = optax.multi_transform(transforms, labels)
+    if grad_clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
+    return tx
 
 
 def _path_labels(params: Mapping[str, Any], label_fn: Callable[[str], str]):
