@@ -445,9 +445,12 @@ class TestSequenceParallel:
             g_sp,
         )
 
-    def test_sp_train_step_trajectory_matches_single_device(self):
-        """Two sharded AdamW steps on a ('data','seq') mesh produce the
-        same parameters as the unsharded step (dropout off, same data)."""
+    @pytest.mark.parametrize("tp,sp", [(1, 4), (2, 2)])
+    def test_sp_train_step_trajectory_matches_single_device(self, tp, sp):
+        """Two sharded AdamW steps on a DP×TP×SP mesh produce the same
+        parameters as the unsharded step (dropout off, same data).
+        tp=2 exercises SP×TP composition: the manual 'seq' shard_map's
+        auto axes leave the TP-sharded head dim to GSPMD."""
         from jax.sharding import Mesh
 
         kw = dict(
@@ -461,7 +464,7 @@ class TestSequenceParallel:
         y = jnp.asarray(rng.integers(0, 5, size=(8,)))
         sample = jnp.zeros((1, 56, 56, 3), jnp.float32)
 
-        mesh = make_mesh(8, tp=1, sp=4)
+        mesh = make_mesh(8, tp=tp, sp=sp)
         assert mesh.axis_names == ("data", "model", "seq")
         sp_model = fmodels.VisionTransformerMHLA(**kw, sp_mesh=mesh)
         base = fmodels.VisionTransformerMHLA(**kw)
@@ -664,8 +667,11 @@ class TestPipelineParallel:
         # depth 4 over 2 stages, hidden 256 over 2-way TP.
         assert fc1.addressable_shards[0].data.shape == (2, 64, 128)
 
-    def test_pp_train_trajectory_matches_single_device(self):
-        """Two AdamW steps with DP=2 × PP=4 == the unsharded steps."""
+    @pytest.mark.parametrize("tp,pp", [(1, 4), (2, 2)])
+    def test_pp_train_trajectory_matches_single_device(self, tp, pp):
+        """Two AdamW steps with DP × TP × PP == the unsharded steps.
+        tp=2 exercises PP×TP composition: the stage-sharded block stack
+        keeps its inner Megatron dims on 'model' inside the pipeline."""
         x_u8 = jnp.asarray(
             np.random.default_rng(1).integers(0, 255, size=(8, 32, 32, 3)),
             dtype=jnp.uint8,
@@ -673,7 +679,7 @@ class TestPipelineParallel:
         y = jnp.asarray(
             np.random.default_rng(2).integers(0, 10, size=(8,))
         )
-        mesh = make_mesh(8, tp=1, pp=4)
+        mesh = make_mesh(8, tp=tp, pp=pp)
         base = fmodels.VisionTransformerMHLA(**self.KW)
         pp_model = fmodels.VisionTransformerMHLA(**self.KW, pp_mesh=mesh)
         params0 = base.init(
