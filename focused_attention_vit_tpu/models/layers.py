@@ -240,6 +240,82 @@ class HeadMergeProj(nn.Module):
         )
 
 
+class HeadQKVProjDS(nn.Module):
+    """Fused qkv projection emitted directly in the S-minor per-head
+    ``[B, h, d, S]`` layout (``bsD,Dthd->tbhds``) — the native layout of
+    the v5 lane-roll band kernel (ops/mhla_band_roll.py). Parameter-
+    compatible with :class:`HeadQKVProj` / ``nn.DenseGeneral`` (kernel
+    ``[D, 3, h, d]``, bias ``[3, h, d]``)."""
+
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        d_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", dense_init, (d_in, 3, self.num_heads, self.head_dim)
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(),
+            (3, self.num_heads, self.head_dim),
+        )
+        y = jnp.einsum(
+            "bsD,Dthd->tbhds", x.astype(self.dtype), kernel.astype(self.dtype)
+        )
+        y = y + bias.astype(self.dtype)[:, None, :, :, None]
+        return (
+            jax.lax.index_in_dim(y, 0, axis=0, keepdims=False),
+            jax.lax.index_in_dim(y, 1, axis=0, keepdims=False),
+            jax.lax.index_in_dim(y, 2, axis=0, keepdims=False),
+        )
+
+
+class LatentProjDS(nn.Module):
+    """The MHLA latent projection applied in the S-minor ``[B, h, d, S]``
+    layout (``de,bhds->bhes``). Parameter-compatible with
+    ``nn.Dense(head_dim)`` (kernel ``[d, e]``, bias ``[e]``) so the
+    checkpoint/converter surface is unchanged."""
+
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", dense_init, (x.shape[2], self.head_dim))
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.head_dim,)
+        )
+        return (
+            jnp.einsum("de,bhds->bhes", kernel.astype(self.dtype), x)
+            + bias.astype(self.dtype)[None, None, :, None]
+        )
+
+
+class HeadMergeProjDS(nn.Module):
+    """Output projection consuming S-minor ``[B, h, d, S]`` directly
+    (``bhds,hdD->bsD``) — :class:`HeadMergeProj`'s partner for the
+    lane-roll band path; same params (kernel ``[h, d, D]``, bias ``[D]``)."""
+
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h, d = x.shape[1], x.shape[2]
+        kernel = self.param("kernel", dense_init, (h, d, self.embed_dim))
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.embed_dim,)
+        )
+        return (
+            jnp.einsum(
+                "bhds,hdD->bsD", x, kernel.astype(self.dtype)
+            )
+            + bias.astype(self.dtype)
+        )
+
+
 class MultiHeadLatentAttention(nn.Module):
     """Windowed latent attention (reference: models/mhla.py:17-161).
 
@@ -266,6 +342,44 @@ class MultiHeadLatentAttention(nn.Module):
     ) -> jnp.ndarray:
         head_dim = self.embed_dim // self.num_heads
         long_s = x.shape[1] > window_ops.DENSE_BAND_MAX_SEQ
+
+        if (
+            long_s
+            and attention_mask is None
+            and x.shape[1] > 2 * self.window_size
+            and self.sp_mesh is None
+            and os.environ.get("FAVIT_MHLA_IMPL") == "roll"
+        ):
+            # v5 lane-roll band path (ops/mhla_band_roll.py): the whole
+            # attention sublayer stays in the kernel's native S-minor
+            # [B, h, d, S] layout — qkv/latent/merge as param-compatible
+            # einsums, the band as one Pallas kernel reading K/V once
+            # (vs the shift path's 7×), train-mode window-slot dropout
+            # drawn by the in-kernel PRNG (seed from the flax RNG).
+            q, k, v = HeadQKVProjDS(
+                self.num_heads, head_dim, dtype=self.dtype, name="qkv"
+            )(x)
+            lat = LatentProjDS(head_dim, dtype=self.dtype, name="latent_proj")
+            k = lat(k)
+            v = lat(v)
+            if self.dropout > 0.0 and not deterministic:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2**31 - 1,
+                    dtype=jnp.int32,
+                )
+                dropout = (self.dropout, seed)
+            else:
+                dropout = (0.0, None)
+            from focused_attention_vit_tpu.ops.mhla_band_roll import (
+                roll_banded_attention,
+            )
+
+            out = roll_banded_attention(q, k, v, self.window_size, dropout)
+            out = HeadMergeProjDS(
+                self.embed_dim, dtype=self.dtype, name="proj"
+            )(out)
+            return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
         latent = nn.Dense(
             self.embed_dim // self.num_heads,
             kernel_init=dense_init,

@@ -1,0 +1,360 @@
+"""Banded MHLA kernel v5: lane-roll compact band (S-minor layout).
+
+The closed v1-v4b investigation (ops/mhla_kernel_v4.py, BASELINE.md "MHLA
+band roofline") established that on this Mosaic toolchain every banded
+formulation loses to XLA's shift path for one of three reasons: ±o row
+shifts of K/V are inexpressible in VMEM (**sublane** shifts lower to full
+relayout passes — v1/v2), DMA slices must be 8-row aligned (v3), or the
+dense-tile softmax runs on ~41× the band's elements (v4/v4b). All four
+generations kept S on the *sublane* axis.
+
+v5 keeps S on the **lane** axis (the S-minor ``[.., d, S]`` layout that
+already won the band's XLA formulation its [B,h,W,S] softmax, BASELINE.md
+"attack #2") and expresses the ±o shifts as ``pltpu.roll`` along lanes —
+a cross-lane permute the VPU supports natively — followed by an *aligned*
+slice. Concretely, for each query tile of T lanes the kernel holds the
+halo-extended K/V rows ``[d, T+128]`` in VMEM (one aligned slice of the
+whole padded row, which the BlockSpec pipeline fetched once per (b·h)),
+and offset ``o``'s shifted keys are ``roll(k_tile, T+128-o)[:, :T]`` —
+no gather, no sublane shuffle, no extra HBM reads. Per step the VPU does
+W multiply-reduces over d=64 sublanes for the logits, an 8-row softmax,
+and W broadcast-multiply-accumulates for the output: exactly the band's
+O(S·W·d) elements and **one** HBM round-trip of q/k/v/out, vs the XLA
+shift path's 7× K and V reads (2.5 GB vs 8.6 GB at the reference-default
+geometry — BASELINE.md measures the shift path at 23.5 ms fwd against a
+4.1 ms roofline).
+
+Semantics are exactly ``ops.window._shift_banded_attention`` — the
+reference's circular edge rule with duplicated-key softmax multiplicity
+(models/mhla.py:72-79 — left-edge windows pad with key S-1, right-edge
+with key 0) via the same halo layout (``k_ext[j] = key(j - W//2)``), and
+optional train-mode attention-weight dropout (one Bernoulli per window
+slot, reference models/mhla.py:146-147) drawn by the in-kernel TPU PRNG —
+the mask is recomputed from the same per-(b·h, tile) seed in the backward
+kernel, so nothing but q/k/v is saved for backward. RNG stream parity
+with the XLA path is explicitly not promised (SURVEY §7) — rate and
+independence semantics are identical.
+
+Layout contract: q/k/v arrive ``[B, h, d, S]`` (S-minor, the layout the
+qkv einsum can emit directly — ``bsD,Dhd->bhds``); output matches. The
+``[B, h, S, d]`` adapter lives in ops/window.py's dispatch
+(``FAVIT_MHLA_IMPL=roll``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Query-tile width in lanes. 640 divides the padded reference-default
+# sequence exactly (3137 → 3200 = 5×640) and keeps the per-step VMEM
+# footprint (k/v rows + q/out tiles) around 1 MB.
+DEFAULT_TILE = 640
+_HALO = 128  # lane-aligned halo: covers any o < 128 ≥ W-1
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _keep_mask(shape, rate: float, seed, b, i):
+    """Per-(b·h, tile) keep mask, identical between fwd and bwd.
+
+    On TPU: the in-kernel hardware PRNG (pltpu), seeded with
+    (seed, b, i). In interpret mode (CPU tests) pltpu's PRNG has no
+    lowering, so an equivalent threefry draw keyed the same way stands
+    in — streams differ across backends, which is fine (RNG stream
+    parity is explicitly not promised, SURVEY §7; determinism-given-seed
+    holds on each backend).
+    """
+    if _interpret():
+        key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(seed), b), i
+        )
+        return jax.random.uniform(key, shape) >= rate
+    pltpu.prng_seed(seed, b, i)
+    bits = pltpu.prng_random_bits(shape)  # int32-typed uniform bits
+    # uint32 uniform threshold: keep iff U32 >= rate * 2^32. Compare in
+    # uint32 so the sign bit doesn't split the range.
+    thr = np.uint32(min(int(rate * 2**32), 2**32 - 1))
+    return bits.astype(jnp.uint32) >= thr
+
+
+def _shifted(x, o: int, t: int):
+    """Lanes [o, o+T) of ``x`` [d, T+_HALO] via roll + aligned slice."""
+    ext = x.shape[-1]
+    return (pltpu.roll(x, shift=ext - o, axis=1) if o else x)[:, :t]
+
+
+def _band_weights(q, ks, w: int, t: int, scale: float):
+    """Band softmax weights [w, T] (f32) for one query tile.
+
+    ``q`` [d, T] f32; ``ks`` [d, T+_HALO] input dtype. Products in f32 on
+    the VPU (64-sublane reduce), softmax over the W offsets.
+    """
+    logits = jnp.stack(
+        [
+            jnp.sum(q * _shifted(ks, o, t).astype(jnp.float32), axis=0)
+            * scale
+            for o in range(w)
+        ],
+        axis=0,
+    )
+    m = jnp.max(logits, axis=0, keepdims=True)
+    e = jnp.exp(logits - m)
+    return e / jnp.sum(e, axis=0, keepdims=True)
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
+                w: int, t: int, scale: float, rate: float):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    d = q_ref.shape[1]
+
+    q = q_ref[0].astype(jnp.float32)
+    ks = k_ref[0, :, pl.ds(i * t, t + _HALO)]
+    vs = v_ref[0, :, pl.ds(i * t, t + _HALO)]
+
+    wts = _band_weights(q, ks, w, t, scale)
+    if rate > 0.0:
+        keep = _keep_mask((w, t), rate, seed_ref[0], b, i)
+        wts = jnp.where(keep, wts / (1.0 - rate), 0.0)
+
+    acc = jnp.zeros((d, t), jnp.float32)
+    for o in range(w):
+        acc = acc + wts[o][None, :] * _shifted(vs, o, t).astype(jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, *,
+                w: int, t: int, scale: float, rate: float):
+    """Per query-tile: recompute band weights (and the dropout mask from
+    the same seed), emit dq [d,T] plus this tile's dk/dv contributions
+    [d,T+_HALO] — disjoint per tile; the caller overlap-adds."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    d = q_ref.shape[1]
+    ext = t + _HALO
+
+    q = q_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    ks = k_ref[0, :, pl.ds(i * t, ext)]
+    vs = v_ref[0, :, pl.ds(i * t, ext)]
+
+    k_sh = [_shifted(ks, o, t).astype(jnp.float32) for o in range(w)]
+    v_sh = [_shifted(vs, o, t).astype(jnp.float32) for o in range(w)]
+
+    logits = jnp.stack(
+        [jnp.sum(q * k_sh[o], axis=0) * scale for o in range(w)], axis=0
+    )
+    m = jnp.max(logits, axis=0, keepdims=True)
+    e = jnp.exp(logits - m)
+    wts = e / jnp.sum(e, axis=0, keepdims=True)  # pre-dropout [w, T]
+
+    # dL/d(dropped weights) and the dropped weights themselves.
+    u = jnp.stack([jnp.sum(g * v_sh[o], axis=0) for o in range(w)], axis=0)
+    if rate > 0.0:
+        keep = _keep_mask((w, t), rate, seed_ref[0], b, i)
+        inv = 1.0 / (1.0 - rate)
+        wd = jnp.where(keep, wts * inv, 0.0)   # dropped weights (fwd's)
+        dwts = jnp.where(keep, u * inv, 0.0)   # dL/d(pre-dropout weights)
+    else:
+        wd = wts
+        dwts = u
+    dot = jnp.sum(wts * dwts, axis=0, keepdims=True)
+    dlog = wts * (dwts - dot)  # softmax backward [w, T]
+
+    dq = jnp.zeros((d, t), jnp.float32)
+    dk_tile = jnp.zeros((d, ext), jnp.float32)
+    dv_tile = jnp.zeros((d, ext), jnp.float32)
+    for o in range(w):
+        dq = dq + dlog[o][None, :] * k_sh[o] * scale
+        ck = jnp.pad(dlog[o][None, :] * q * scale, ((0, 0), (0, _HALO)))
+        cv = jnp.pad(wd[o][None, :] * g, ((0, 0), (0, _HALO)))
+        # Contribution lands on k_ext lanes [iT+o, iT+o+T): place at
+        # tile-local lanes [o, o+T) by rolling right o lanes.
+        dk_tile = dk_tile + (pltpu.roll(ck, shift=o, axis=1) if o else ck)
+        dv_tile = dv_tile + (pltpu.roll(cv, shift=o, axis=1) if o else cv)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk_tile
+    dv_ref[0, 0] = dv_tile
+
+
+def _extend(x, s: int, w: int, s_pad: int):
+    """Halo-extend the lane axis: ``x_ext[j] = row(j - W//2)`` with the
+    reference edge rule (hw copies of row S-1 left, row 0 right —
+    ops/window._halo_pad), zero-padded to s_pad + _HALO lanes."""
+    hw = w // 2
+    parts = (
+        [x[:, :, s - 1 : s]] * hw + [x] + [x[:, :, 0:1]] * (w - 1 - hw)
+    )
+    ext = jnp.concatenate(parts, -1) if len(parts) > 1 else x
+    return jnp.pad(ext, ((0, 0), (0, 0), (0, s_pad + _HALO - ext.shape[-1])))
+
+
+def _tiling(s: int, w: int):
+    t = DEFAULT_TILE
+    if s + w - 1 <= t:
+        # Single tile: round the padded width up to a lane multiple.
+        t = max(128, -(-(s + w - 1) // 128) * 128)
+    n_tiles = -(-s // t)
+    return t, n_tiles, t * n_tiles
+
+
+def _overlap_add(tiles, s_pad: int, t: int):
+    """[n, d, T+_HALO] tile contributions at lane offsets iT → [d, s_pad+_HALO]."""
+    n, d, ext = tiles.shape
+    main = jnp.pad(
+        tiles[:, :, :t].transpose(1, 0, 2).reshape(d, s_pad),
+        ((0, 0), (0, _HALO)),
+    )
+    halo = jnp.pad(tiles[:, :, t:], ((0, 0), (0, 0), (0, t - _HALO)))
+    halo = halo.transpose(1, 0, 2).reshape(d, s_pad)
+    halo = jnp.pad(halo, ((0, 0), (t, 0)))[:, : s_pad + _HALO]
+    return main + halo
+
+
+def _fold_ext(d_ext, s: int, w: int):
+    """Fold an x_ext cotangent back to [d, S] (edge copies accumulate
+    into rows S-1 / 0 — the halo-pad transpose)."""
+    hw = w // 2
+    core = d_ext[:, hw : hw + s]
+    if hw:
+        core = core.at[:, s - 1].add(jnp.sum(d_ext[:, :hw], axis=1))
+    if w - 1 - hw:
+        core = core.at[:, 0].add(
+            jnp.sum(d_ext[:, hw + s : s + w - 1], axis=1)
+        )
+    return core
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _roll_band_core(q, k, v, seed, window_size: int, rate: float):
+    """custom_vjp core; ``seed`` is a [1] int32 array (traced OK)."""
+    out, _ = _roll_fwd(q, k, v, seed, window_size, rate)
+    return out
+
+
+def roll_banded_attention(q, k, v, window_size: int, dropout=(0.0, None)):
+    """Lane-roll banded attention on S-minor ``[B, h, d, S]`` tensors.
+
+    ``k``/``v`` already carry the latent projection. ``dropout`` is a
+    ``(rate, seed)`` pair — seed may be None (deterministic), a Python
+    int, or a traced int32 scalar (e.g. derived from a flax RNG); the
+    rate must be static. Semantics match
+    ops/window.windowed_latent_attention exactly at rate=0, and the
+    reference's per-window-slot weight dropout (models/mhla.py:146-147)
+    otherwise; the mask is recomputed in backward from the same seed.
+    """
+    rate, seed = dropout
+    if seed is None:
+        rate = 0.0
+    seed_arr = jnp.reshape(
+        jnp.asarray(0 if seed is None else seed, dtype=jnp.int32), (1,)
+    )
+    return _roll_band_core(q, k, v, seed_arr, window_size, float(rate))
+
+
+def _pallas(fn, grid, in_specs, out_specs, out_shape):
+    return pl.pallas_call(
+        fn,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )
+
+
+def _roll_fwd(q, k, v, seed_arr, window_size, rate):
+    b, h, d, s = q.shape
+    w = window_size
+    bh = b * h
+    t, n_tiles, s_pad = _tiling(s, w)
+
+    qf = q.reshape(bh, d, s)
+    k_ext = _extend(k.reshape(bh, d, s), s, w, s_pad)
+    v_ext = _extend(v.reshape(bh, d, s), s, w, s_pad)
+    q_p = jnp.pad(qf, ((0, 0), (0, 0), (0, s_pad - s)))
+
+    row_spec = pl.BlockSpec((1, d, s_pad + _HALO), lambda bb, i: (bb, 0, 0))
+    tile_spec = pl.BlockSpec((1, d, t), lambda bb, i: (bb, 0, i))
+    out = _pallas(
+        functools.partial(_fwd_kernel, w=w, t=t, scale=d**-0.5, rate=rate),
+        grid=(bh, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            tile_spec, row_spec, row_spec,
+        ],
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, d, s_pad), q.dtype),
+    )(seed_arr, q_p, k_ext, v_ext)
+    out = out[:, :, :s].reshape(b, h, d, s)
+    return out, (q, k, v, seed_arr)
+
+
+def _roll_bwd(window_size, rate, res, g):
+    q, k, v, seed_arr = res
+    b, h, d, s = q.shape
+    w = window_size
+    bh = b * h
+    t, n_tiles, s_pad = _tiling(s, w)
+
+    k_ext = _extend(k.reshape(bh, d, s), s, w, s_pad)
+    v_ext = _extend(v.reshape(bh, d, s), s, w, s_pad)
+    q_p = jnp.pad(q.reshape(bh, d, s), ((0, 0), (0, 0), (0, s_pad - s)))
+    g_p = jnp.pad(
+        g.reshape(bh, d, s).astype(q.dtype),
+        ((0, 0), (0, 0), (0, s_pad - s)),
+    )
+
+    row_spec = pl.BlockSpec((1, d, s_pad + _HALO), lambda bb, i: (bb, 0, 0))
+    tile_spec = pl.BlockSpec((1, d, t), lambda bb, i: (bb, 0, i))
+    ext_spec = pl.BlockSpec((1, 1, d, t + _HALO), lambda bb, i: (bb, i, 0, 0))
+    dq, dk_t, dv_t = _pallas(
+        functools.partial(_bwd_kernel, w=w, t=t, scale=d**-0.5, rate=rate),
+        grid=(bh, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            tile_spec, row_spec, row_spec, tile_spec,
+        ],
+        out_specs=[tile_spec, ext_spec, ext_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, d, s_pad), q.dtype),
+            jax.ShapeDtypeStruct((bh, n_tiles, d, t + _HALO), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_tiles, d, t + _HALO), jnp.float32),
+        ],
+    )(seed_arr, q_p, k_ext, v_ext, g_p)
+
+    oa = jax.vmap(lambda x: _overlap_add(x, s_pad, t))
+    fold = jax.vmap(lambda x: _fold_ext(x, s, w))
+    dk = fold(oa(dk_t)).astype(k.dtype).reshape(b, h, d, s)
+    dv = fold(oa(dv_t)).astype(v.dtype).reshape(b, h, d, s)
+    dq = dq[:, :, :s].reshape(b, h, d, s).astype(q.dtype)
+    # seed is integer-typed: its cotangent is float0.
+    dseed = np.zeros((1,), dtype=jax.dtypes.float0)
+    return dq, dk, dv, dseed
+
+
+_roll_band_core.defvjp(_roll_fwd, _roll_bwd)
+
+
+def roll_banded_attention_bhsd(q, k, v, window_size: int,
+                               dropout=(0.0, None)):
+    """Adapter from the ``[B, h, S, d]`` convention of
+    ops/window.windowed_latent_attention (transposes included — the
+    production S=3137 path should feed the S-minor layout directly)."""
+    out = roll_banded_attention(
+        q.transpose(0, 1, 3, 2),
+        k.transpose(0, 1, 3, 2),
+        v.transpose(0, 1, 3, 2),
+        window_size,
+        dropout,
+    )
+    return out.transpose(0, 1, 3, 2)

@@ -460,6 +460,21 @@ def windowed_latent_attention(
         # — their [T,d]·[d,T+2hw] matmuls are too small for the MXU).
         return _dense_band_attention(q, k, v, w)
 
+    if impl == "roll":
+        # v5 lane-roll compact band (ops/mhla_band_roll.py): S-minor
+        # [.., d, S] Pallas kernel — pltpu.roll along lanes expresses the
+        # ±o shifts the v1-v4 investigation could not (they fought
+        # *sublane* shifts), reading K/V once instead of the shift path's
+        # 7×. Exact vs the oracle incl. edge multiplicity (custom-VJP
+        # grads pinned in tests/test_ops.py). This entry point adapts
+        # from [B,h,S,d]; the S-minor production path feeds the kernel's
+        # native layout directly.
+        from focused_attention_vit_tpu.ops.mhla_band_roll import (
+            roll_banded_attention_bhsd,
+        )
+
+        return roll_banded_attention_bhsd(q, k, v, w)
+
     use_pallas = (
         jax.default_backend() == "tpu"
         and os.environ.get("FAVIT_USE_PALLAS_MHLA", "0") == "1"

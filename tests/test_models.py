@@ -231,3 +231,62 @@ def test_mhla_long_s_einsum_projections_match_densegeneral(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out_einsum), np.asarray(out_dense), atol=1e-5, rtol=1e-5
     )
+
+
+def test_mhla_roll_path_matches_default(monkeypatch):
+    """FAVIT_MHLA_IMPL=roll routes the long-S MHLA sublayer through the
+    S-minor lane-roll band kernel (param-compatible DS einsum projections
+    + ops/mhla_band_roll.py). Same params, same output as the default
+    long-S path — fwd and grads; train-mode dropout stays finite and
+    differs from deterministic (in-kernel PRNG)."""
+    from focused_attention_vit_tpu.models.layers import (
+        MultiHeadLatentAttention,
+    )
+    from focused_attention_vit_tpu.ops import window as window_ops
+
+    rng = np.random.default_rng(0)
+    s, dim, heads, w = 96, 32, 4, 7
+    m = MultiHeadLatentAttention(
+        embed_dim=dim, num_heads=heads, window_size=w, dropout=0.3
+    )
+    x = jnp.asarray(rng.normal(size=(2, s, dim)).astype(np.float32))
+
+    monkeypatch.setattr(window_ops, "DENSE_BAND_MAX_SEQ", s - 1)
+    params = m.init(jax.random.PRNGKey(0), x)
+    out_default = m.apply(params, x)
+    g_default = jax.grad(
+        lambda p: (m.apply(p, x) ** 2).sum()
+    )(params)
+
+    monkeypatch.setenv("FAVIT_MHLA_IMPL", "roll")
+    out_roll = m.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out_roll), np.asarray(out_default), atol=1e-5, rtol=1e-5
+    )
+    g_roll = jax.grad(lambda p: (m.apply(p, x) ** 2).sum())(params)
+    jax.tree.map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-4, rtol=1e-3
+        ),
+        g_roll,
+        g_default,
+    )
+
+    # Train-mode: in-kernel window-slot dropout (seed from the flax RNG).
+    out_train = m.apply(
+        params, x, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(3)},
+    )
+    assert np.isfinite(np.asarray(out_train)).all()
+    assert np.abs(np.asarray(out_train) - np.asarray(out_roll)).max() > 1e-6
+    g_train = jax.grad(
+        lambda p: (
+            m.apply(
+                p, x, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(3)},
+            ) ** 2
+        ).sum()
+    )(params)
+    assert all(
+        bool(jnp.isfinite(leaf).all()) for leaf in jax.tree.leaves(g_train)
+    )

@@ -272,6 +272,90 @@ class TestWindowedAttention:
                 np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-4
             )
 
+    @pytest.mark.parametrize("s,w", [(900, 7), (65, 7), (197, 5), (640, 7)])
+    def test_roll_band_matches_shift_fwd_and_grad(self, rng, s, w,
+                                                  monkeypatch):
+        """v5 lane-roll compact band (ops/mhla_band_roll.py, S-minor
+        Pallas kernel, interpret mode on CPU) vs the production shift
+        band: fwd and custom-VJP grads exact, incl. the duplicated-edge-
+        key softmax multiplicity (both sides use the halo layout of
+        ops/window._halo_pad); multi-tile (s=900 > one 640-lane tile) and
+        exact-tile-boundary (s=640) cases included. Also pins the
+        FAVIT_MHLA_IMPL=roll dispatch through the public op."""
+        import focused_attention_vit_tpu.ops.window as W
+        from focused_attention_vit_tpu.ops.mhla_band_roll import (
+            roll_banded_attention_bhsd,
+        )
+
+        b, h, d = 2, 2, 32
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        oracle = W._shift_banded_attention(q, k, v, w)
+        got = roll_banded_attention_bhsd(q, k, v, w)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(oracle), atol=1e-5, rtol=1e-5
+        )
+
+        g_or = jax.grad(
+            lambda q, k, v: (W._shift_banded_attention(q, k, v, w) * g).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        g_ro = jax.grad(
+            lambda q, k, v: (roll_banded_attention_bhsd(q, k, v, w) * g).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b_ in zip(g_ro, g_or):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-4
+            )
+
+        monkeypatch.setenv("FAVIT_MHLA_IMPL", "roll")
+        if s > 2 * w:
+            full = W.windowed_latent_attention(q, k, v, w)
+            np.testing.assert_allclose(
+                np.asarray(full), np.asarray(oracle), atol=1e-5, rtol=1e-5
+            )
+
+    def test_roll_band_dropout_semantics(self, rng):
+        """In-kernel band dropout: deterministic given seed, seed-
+        dependent, ~rate of window slots dropped, grads finite, and the
+        bwd kernel's recomputed mask matches fwd (finite-difference
+        check on a kept coordinate's linearity in V)."""
+        from focused_attention_vit_tpu.ops.mhla_band_roll import (
+            roll_banded_attention,
+        )
+
+        b, h, d, s, w, rate = 1, 2, 16, 300, 7, 0.3
+        q = jnp.asarray(rng.normal(size=(b, h, d, s)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, d, s)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, d, s)).astype(np.float32))
+        o1 = roll_banded_attention(q, k, v, w, (rate, 7))
+        o2 = roll_banded_attention(q, k, v, w, (rate, 7))
+        o3 = roll_banded_attention(q, k, v, w, (rate, 8))
+        det = roll_banded_attention(q, k, v, w, (0.0, None))
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+        assert np.abs(np.asarray(o1) - np.asarray(o3)).max() > 1e-6
+        assert np.abs(np.asarray(o1) - np.asarray(det)).max() > 1e-6
+        assert np.isfinite(np.asarray(o1)).all()
+
+        # out is linear in V with dropped-weight coefficients; the VJP
+        # wrt V must therefore equal the fwd difference quotient exactly
+        # (same mask in fwd and bwd).
+        dv = jax.grad(
+            lambda v: (roll_banded_attention(q, k, v, w, (rate, 7))).sum()
+        )(v)
+        eps = 0.5
+        probe = jnp.zeros_like(v).at[0, 0, 3, 10].set(eps)
+        fd = (
+            roll_banded_attention(q, k, v + probe, w, (rate, 7)).sum()
+            - roll_banded_attention(q, k, v, w, (rate, 7)).sum()
+        ) / eps
+        np.testing.assert_allclose(
+            float(dv[0, 0, 3, 10]), float(fd), rtol=1e-3, atol=1e-3
+        )
+
     @pytest.mark.parametrize("s,w", [(40, 7), (33, 5), (100, 3), (64, 4),
                                      (197, 7), (9, 7)])
     def test_nsh_layout_matches_gather(self, rng, s, w):
