@@ -97,9 +97,12 @@ def _band_weights(q, ks, w: int, t: int, scale: float):
     ``q`` [d, T] f32; ``ks`` [d, T+_HALO] input dtype. Products in f32 on
     the VPU (64-sublane reduce), softmax over the W offsets.
     """
-    logits = jnp.stack(
+    logits = jnp.concatenate(
         [
-            jnp.sum(q * _shifted(ks, o, t).astype(jnp.float32), axis=0)
+            jnp.sum(
+                q * _shifted(ks, o, t).astype(jnp.float32),
+                axis=0, keepdims=True,
+            )
             * scale
             for o in range(w)
         ],
@@ -127,7 +130,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
 
     acc = jnp.zeros((d, t), jnp.float32)
     for o in range(w):
-        acc = acc + wts[o][None, :] * _shifted(vs, o, t).astype(jnp.float32)
+        acc = acc + wts[o : o + 1] * _shifted(vs, o, t).astype(jnp.float32)
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
@@ -150,15 +153,22 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref,
     k_sh = [_shifted(ks, o, t).astype(jnp.float32) for o in range(w)]
     v_sh = [_shifted(vs, o, t).astype(jnp.float32) for o in range(w)]
 
-    logits = jnp.stack(
-        [jnp.sum(q * k_sh[o], axis=0) * scale for o in range(w)], axis=0
+    logits = jnp.concatenate(
+        [
+            jnp.sum(q * k_sh[o], axis=0, keepdims=True) * scale
+            for o in range(w)
+        ],
+        axis=0,
     )
     m = jnp.max(logits, axis=0, keepdims=True)
     e = jnp.exp(logits - m)
     wts = e / jnp.sum(e, axis=0, keepdims=True)  # pre-dropout [w, T]
 
     # dL/d(dropped weights) and the dropped weights themselves.
-    u = jnp.stack([jnp.sum(g * v_sh[o], axis=0) for o in range(w)], axis=0)
+    u = jnp.concatenate(
+        [jnp.sum(g * v_sh[o], axis=0, keepdims=True) for o in range(w)],
+        axis=0,
+    )
     if rate > 0.0:
         keep = _keep_mask((w, t), rate, seed_ref[0], b, i)
         inv = 1.0 / (1.0 - rate)
@@ -174,9 +184,9 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref,
     dk_tile = jnp.zeros((d, ext), jnp.float32)
     dv_tile = jnp.zeros((d, ext), jnp.float32)
     for o in range(w):
-        dq = dq + dlog[o][None, :] * k_sh[o] * scale
-        ck = jnp.pad(dlog[o][None, :] * q * scale, ((0, 0), (0, _HALO)))
-        cv = jnp.pad(wd[o][None, :] * g, ((0, 0), (0, _HALO)))
+        dq = dq + dlog[o : o + 1] * k_sh[o] * scale
+        ck = jnp.pad(dlog[o : o + 1] * q * scale, ((0, 0), (0, _HALO)))
+        cv = jnp.pad(wd[o : o + 1] * g, ((0, 0), (0, _HALO)))
         # Contribution lands on k_ext lanes [iT+o, iT+o+T): place at
         # tile-local lanes [o, o+T) by rolling right o lanes.
         dk_tile = dk_tile + (pltpu.roll(ck, shift=o, axis=1) if o else ck)
