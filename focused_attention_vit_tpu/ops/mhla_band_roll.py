@@ -91,20 +91,19 @@ def _shifted(x, o: int, t: int):
     return (pltpu.roll(x, shift=ext - o, axis=1) if o else x)[:, :t]
 
 
-def _band_weights(q, ks, w: int, t: int, scale: float):
+def _band_weights(q, k_sh, scale: float):
     """Band softmax weights [w, T] (f32) for one query tile.
 
-    ``q`` [d, T] f32; ``ks`` [d, T+_HALO] input dtype. Products in f32 on
-    the VPU (64-sublane reduce), softmax over the W offsets.
+    ``q`` [d, T] f32; ``k_sh`` the W shifted key views [d, T] (f32).
+    Products in f32 on the VPU (64-sublane reduce), softmax over the W
+    offsets. Fwd and bwd kernels MUST share this single definition: the
+    bwd recomputes the dropout mask and pre-dropout weights from the same
+    seed, so any divergence silently breaks grad/mask consistency.
     """
     logits = jnp.concatenate(
         [
-            jnp.sum(
-                q * _shifted(ks, o, t).astype(jnp.float32),
-                axis=0, keepdims=True,
-            )
-            * scale
-            for o in range(w)
+            jnp.sum(q * ko, axis=0, keepdims=True) * scale
+            for ko in k_sh
         ],
         axis=0,
     )
@@ -123,7 +122,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
     ks = k_ref[0, :, pl.ds(i * t, t + _HALO)]
     vs = v_ref[0, :, pl.ds(i * t, t + _HALO)]
 
-    wts = _band_weights(q, ks, w, t, scale)
+    k_sh = [_shifted(ks, o, t).astype(jnp.float32) for o in range(w)]
+    wts = _band_weights(q, k_sh, scale)
     if rate > 0.0:
         keep = _keep_mask((w, t), rate, seed_ref[0], b, i)
         wts = jnp.where(keep, wts / (1.0 - rate), 0.0)
@@ -153,16 +153,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref,
     k_sh = [_shifted(ks, o, t).astype(jnp.float32) for o in range(w)]
     v_sh = [_shifted(vs, o, t).astype(jnp.float32) for o in range(w)]
 
-    logits = jnp.concatenate(
-        [
-            jnp.sum(q * k_sh[o], axis=0, keepdims=True) * scale
-            for o in range(w)
-        ],
-        axis=0,
-    )
-    m = jnp.max(logits, axis=0, keepdims=True)
-    e = jnp.exp(logits - m)
-    wts = e / jnp.sum(e, axis=0, keepdims=True)  # pre-dropout [w, T]
+    wts = _band_weights(q, k_sh, scale)  # pre-dropout [w, T]
 
     # dL/d(dropped weights) and the dropped weights themselves.
     u = jnp.concatenate(
@@ -265,6 +256,14 @@ def roll_banded_attention(q, k, v, window_size: int, dropout=(0.0, None)):
     rate, seed = dropout
     if seed is None:
         rate = 0.0
+    if window_size - 1 > _HALO:
+        # Each tile's K/V slice extends only _HALO lanes past the tile, so
+        # offsets o > _HALO would wrap to wrong keys (silently, via the
+        # circular roll) on multi-tile shapes.
+        raise ValueError(
+            f"roll band supports window_size <= {_HALO + 1} "
+            f"(got {window_size}); use the shift path for wider windows"
+        )
     seed_arr = jnp.reshape(
         jnp.asarray(0 if seed is None else seed, dtype=jnp.int32), (1,)
     )

@@ -318,16 +318,31 @@ class TestWindowedAttention:
                 np.asarray(full), np.asarray(oracle), atol=1e-5, rtol=1e-5
             )
 
-    def test_roll_band_dropout_semantics(self, rng):
-        """In-kernel band dropout: deterministic given seed, seed-
-        dependent, ~rate of window slots dropped, grads finite, and the
-        bwd kernel's recomputed mask matches fwd (finite-difference
-        check on a kept coordinate's linearity in V)."""
+    def test_roll_band_window_wider_than_halo_raises(self, rng):
+        """W-1 > the 128-lane tile halo would wrap the circular roll onto
+        wrong keys on multi-tile shapes — must be a loud error, not
+        silent corruption."""
         from focused_attention_vit_tpu.ops.mhla_band_roll import (
             roll_banded_attention,
         )
 
-        b, h, d, s, w, rate = 1, 2, 16, 300, 7, 0.3
+        q = jnp.zeros((1, 1, 8, 700), jnp.float32)
+        with pytest.raises(ValueError, match="window_size"):
+            roll_banded_attention(q, q, q, 130)
+
+    @pytest.mark.parametrize("s", [300, 900])
+    def test_roll_band_dropout_semantics(self, rng, s):
+        """In-kernel band dropout: deterministic given seed, seed-
+        dependent, ~rate of window slots dropped, grads finite, and the
+        bwd kernel's recomputed mask matches fwd (finite-difference
+        check on a kept coordinate's linearity in V). s=900 exercises
+        the multi-tile per-tile reseed + dk/dv overlap-add under
+        dropout; s=300 the single-tile fold."""
+        from focused_attention_vit_tpu.ops.mhla_band_roll import (
+            roll_banded_attention,
+        )
+
+        b, h, d, w, rate = 1, 2, 16, 7, 0.3
         q = jnp.asarray(rng.normal(size=(b, h, d, s)).astype(np.float32))
         k = jnp.asarray(rng.normal(size=(b, h, d, s)).astype(np.float32))
         v = jnp.asarray(rng.normal(size=(b, h, d, s)).astype(np.float32))
@@ -342,19 +357,23 @@ class TestWindowedAttention:
 
         # out is linear in V with dropped-weight coefficients; the VJP
         # wrt V must therefore equal the fwd difference quotient exactly
-        # (same mask in fwd and bwd).
+        # (same mask in fwd and bwd). Probe one lane in the first tile
+        # and one past the first 640-lane tile boundary (s=900) so a
+        # mask-recompute or overlap-add regression in the multi-tile
+        # backward cannot pass.
         dv = jax.grad(
             lambda v: (roll_banded_attention(q, k, v, w, (rate, 7))).sum()
         )(v)
         eps = 0.5
-        probe = jnp.zeros_like(v).at[0, 0, 3, 10].set(eps)
-        fd = (
-            roll_banded_attention(q, k, v + probe, w, (rate, 7)).sum()
-            - roll_banded_attention(q, k, v, w, (rate, 7)).sum()
-        ) / eps
-        np.testing.assert_allclose(
-            float(dv[0, 0, 3, 10]), float(fd), rtol=1e-3, atol=1e-3
-        )
+        for lane in (10, s - 250):
+            probe = jnp.zeros_like(v).at[0, 0, 3, lane].set(eps)
+            fd = (
+                roll_banded_attention(q, k, v + probe, w, (rate, 7)).sum()
+                - roll_banded_attention(q, k, v, w, (rate, 7)).sum()
+            ) / eps
+            np.testing.assert_allclose(
+                float(dv[0, 0, 3, lane]), float(fd), rtol=1e-3, atol=1e-3
+            )
 
     @pytest.mark.parametrize("s,w", [(40, 7), (33, 5), (100, 3), (64, 4),
                                      (197, 7), (9, 7)])
