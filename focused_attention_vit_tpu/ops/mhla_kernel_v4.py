@@ -216,8 +216,8 @@ def _fwd_impl(q, k, v, window_size: int, block: int):
         out_shape=jax.ShapeDtypeStruct((bh, sp, dl), q.dtype),
         grid=(bh, sp // t),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, t, dl), lambda b, i: (b, i, 0)),
         ],
         out_specs=pl.BlockSpec((1, t, dl), lambda b, i: (b, i, 0)),
@@ -258,7 +258,7 @@ def _bwd_rule(window_size, block, res, g):
         ),
         out_shape=[jax.ShapeDtypeStruct((bh, sp, dl), q.dtype)] * 3,
         grid=(bh, sp // t),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=[pl.BlockSpec((1, t, dl), lambda b, j: (b, j, 0))] * 3,
         scratch_shapes=[
             pltpu.VMEM((t + 2 * halo, dl), q.dtype),
