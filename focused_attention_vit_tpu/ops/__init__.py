@@ -5,6 +5,9 @@ from focused_attention_vit_tpu.ops.attention import (
     multi_head_attention,
     scaled_dot_product_attention,
 )
+from focused_attention_vit_tpu.ops.mhla_band_roll import (
+    roll_banded_attention,
+)
 from focused_attention_vit_tpu.ops.window import (
     window_index_table,
     windowed_latent_attention,
@@ -29,6 +32,7 @@ __all__ = [
     "patch_embed",
     "multi_head_attention",
     "scaled_dot_product_attention",
+    "roll_banded_attention",
     "window_index_table",
     "windowed_latent_attention",
     "sinusoidal_positional_encoding",
