@@ -118,8 +118,17 @@ class Predictor:
         params = load_params(path, template)
         return cls(model, params, **kw)
 
-    def warmup(self) -> None:
-        dummy = np.zeros((self.batch_size, 32, 32, 3), dtype=np.uint8)
+    def warmup(self, input_hw: "tuple[int, int] | None" = None) -> None:
+        """Compile the serving program for the expected input shape.
+
+        The program resizes inputs in-graph, but each distinct input
+        (h, w) is a distinct XLA program — warm the shape clients will
+        actually send (default: the model's own img_size; remote compiles
+        cost seconds-to-minutes on this toolchain)."""
+        h, w = input_hw if input_hw is not None else (
+            self.img_size, self.img_size
+        )
+        dummy = np.zeros((self.batch_size, h, w, 3), dtype=np.uint8)
         np.asarray(self._fwd(self.params, jnp.asarray(dummy)))
 
     def predict_proba(self, images_u8: np.ndarray) -> np.ndarray:

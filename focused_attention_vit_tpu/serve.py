@@ -38,6 +38,21 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 
+def _deliver(fut: Future, result=None, exc=None) -> None:
+    """Resolve a future, tolerating caller-side cancellation — a
+    cancelled future must never kill the worker thread (InvalidStateError
+    would leave every later request hanging)."""
+    try:
+        if fut.cancelled():
+            return
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+    except Exception:
+        pass  # racing cancel() between the check and the set
+
+
 @dataclass
 class ServeStats:
     """Counters for observability (read under no lock — monotonic ints)."""
@@ -85,9 +100,10 @@ class BatchingServer:
     def submit(self, images_u8: np.ndarray) -> Future:
         """Enqueue ``[n, h, w, 3] uint8``; resolves to ``[n, C]`` probs."""
         images_u8 = np.asarray(images_u8)
-        if images_u8.ndim != 4:
+        if images_u8.ndim != 4 or images_u8.shape[0] == 0:
             raise ValueError(
-                f"expected [n, h, w, c] uint8, got shape {images_u8.shape}"
+                f"expected non-empty [n, h, w, c] uint8, got shape "
+                f"{images_u8.shape}"
             )
         fut: Future = Future()
         with self._nonempty:
@@ -129,17 +145,22 @@ class BatchingServer:
             deadline = time.monotonic() + self._max_delay
             taken: List[Tuple[np.ndarray, Future]] = []
             n = 0
+            hw = None  # only same-(h,w,c) requests share a concatenate
             while True:
                 # Pack every queued request that still fits.
                 i = 0
                 while i < len(self._queue):
-                    req_n = len(self._queue[i][0])
+                    req = self._queue[i][0]
+                    req_n = len(req)
                     if req_n > self._capacity and not taken:
                         # Oversize request at the head: ship it alone.
                         return [self._queue.pop(i)]
-                    if n + req_n <= self._capacity:
+                    if n + req_n <= self._capacity and (
+                        hw is None or req.shape[1:] == hw
+                    ):
                         item = self._queue.pop(i)
                         taken.append(item)
+                        hw = req.shape[1:]
                         n += req_n
                     else:
                         i += 1
@@ -159,7 +180,7 @@ class BatchingServer:
                 probs = self._p.predict_proba(np.concatenate(arrays))
             except Exception as e:  # propagate to every waiting caller
                 for _, fut in batch:
-                    fut.set_exception(e)
+                    _deliver(fut, exc=e)
                 continue
             if total > self._capacity:
                 self.stats.oversize_requests += 1
@@ -169,7 +190,7 @@ class BatchingServer:
                 self.stats.fill_sum += total / self._capacity
             off = 0
             for a, fut in batch:
-                fut.set_result(probs[off : off + len(a)])
+                _deliver(fut, result=probs[off : off + len(a)])
                 off += len(a)
 
 
@@ -236,6 +257,20 @@ class HTTPFrontend:
                 except (ValueError, RuntimeError) as e:
                     self._reply(400, str(e).encode(), "text/plain")
                     return
+                except TimeoutError as e:
+                    self._reply(
+                        504, f"inference timed out: {e}".encode(),
+                        "text/plain",
+                    )
+                    return
+                except Exception as e:  # device errors etc. → 500, not a
+                    # dropped connection (BaseHTTPRequestHandler would
+                    # close the socket with no response).
+                    self._reply(
+                        500, f"{type(e).__name__}: {e}".encode(),
+                        "text/plain",
+                    )
+                    return
                 buf = io.BytesIO()
                 np.save(buf, probs)
                 self._reply(200, buf.getvalue(), "application/x-npy")
@@ -251,9 +286,12 @@ class HTTPFrontend:
         return self
 
     def close(self) -> None:
-        self._httpd.shutdown()
+        if self._thread.is_alive():
+            # shutdown() waits on an event only serve_forever() sets —
+            # calling it before start() would deadlock.
+            self._httpd.shutdown()
+            self._thread.join(timeout=10)
         self._httpd.server_close()
-        self._thread.join(timeout=10)
 
     def __enter__(self) -> "HTTPFrontend":
         return self.start()
@@ -320,11 +358,18 @@ def main(argv=None) -> None:
     from focused_attention_vit_tpu.utils import compile_cache
 
     compile_cache.enable()
+    # Same mesh convention as the training CLI (experiments/base.py):
+    # --num_devices <=0 or None means "all devices" when a mesh is
+    # requested; --tp alone also requests a mesh.
     mesh = None
-    if args.num_devices and args.num_devices > 1:
+    if args.num_devices or args.tp > 1:
         from focused_attention_vit_tpu.parallel import make_mesh
 
-        mesh = make_mesh(args.num_devices, tp=args.tp)
+        n = args.num_devices
+        if n is None or n <= 0:
+            n = len(jax.devices())
+        if n > 1 or args.tp > 1:
+            mesh = make_mesh(n, tp=args.tp)
     model = _build_model(args)
     predictor = Predictor.from_checkpoint(
         model, args.checkpoint_dir,

@@ -75,13 +75,22 @@ def make_lr_schedule(
     )
 
 
+def _check_clip(grad_clip_norm: Optional[float]) -> Optional[float]:
+    if grad_clip_norm is not None and grad_clip_norm <= 0:
+        raise ValueError(
+            f"grad_clip_norm must be > 0 (got {grad_clip_norm}); omit the "
+            "flag to disable clipping"
+        )
+    return grad_clip_norm
+
+
 def make_adamw(
     learning_rate: LRLike,
     weight_decay: float = 0.05,
     grad_clip_norm: Optional[float] = None,
 ):
     tx = optax.adamw(learning_rate=learning_rate, weight_decay=weight_decay)
-    if grad_clip_norm:
+    if _check_clip(grad_clip_norm) is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
     return tx
 
@@ -103,8 +112,10 @@ def make_grouped_optimizer(
       group_lrs: label → learning rate (float or optax schedule). Labels
         not present map to ``frozen_label`` and receive no updates.
       grad_clip_norm: optional global-norm clip. Applied OUTSIDE the
-        multi_transform (before group routing) so the norm is computed
-        over the whole gradient tree, not per group.
+        multi_transform (before group routing) so the norm spans every
+        TRAINABLE group at once — frozen parameters are zeroed first, so
+        gradients that update nothing cannot inflate the norm and crush
+        the head's updates (the whole point of freezing a ViT-B backbone).
     """
     labels = _path_labels(params, label_fn)
     transforms = {
@@ -112,8 +123,13 @@ def make_grouped_optimizer(
     }
     transforms[frozen_label] = optax.set_to_zero()
     tx = optax.multi_transform(transforms, labels)
-    if grad_clip_norm:
-        tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
+    if _check_clip(grad_clip_norm) is not None:
+        is_frozen = jax.tree.map(lambda lab: lab == frozen_label, labels)
+        tx = optax.chain(
+            optax.masked(optax.set_to_zero(), is_frozen),
+            optax.clip_by_global_norm(grad_clip_norm),
+            tx,
+        )
     return tx
 
 

@@ -103,6 +103,42 @@ class TestOptimizerWiring:
         assert float(jnp.abs(up["body"]["kernel"]).max()) == 0.0
         assert float(jnp.abs(up["head"]["kernel"]).max()) > 0.0
 
+    def test_grouped_clip_norm_excludes_frozen_grads(self):
+        """Frozen-group gradients update nothing, so they must not count
+        toward the global clip norm — else a huge frozen backbone grad
+        crushes the head's update. Pin: head update is identical whether
+        the frozen grad is tiny or enormous."""
+        params = {"head": {"kernel": jnp.ones((2, 2))},
+                  "body": {"kernel": jnp.ones((2, 2))}}
+
+        def label_fn(path):
+            return "head" if path.startswith("head") else "frozen"
+
+        tx = make_grouped_optimizer(
+            params, label_fn, {"head": 1e-3}, grad_clip_norm=1.0
+        )
+        g_small = {"head": {"kernel": jnp.full((2, 2), 10.0)},
+                   "body": {"kernel": jnp.zeros((2, 2))}}
+        g_huge = {"head": {"kernel": jnp.full((2, 2), 10.0)},
+                  "body": {"kernel": jnp.full((2, 2), 1e6)}}
+        up_s, _ = tx.update(g_small, tx.init(params), params)
+        up_h, _ = tx.update(g_huge, tx.init(params), params)
+        np.testing.assert_allclose(
+            np.asarray(up_s["head"]["kernel"]),
+            np.asarray(up_h["head"]["kernel"]),
+            rtol=1e-6,
+        )
+        assert float(jnp.abs(up_h["body"]["kernel"]).max()) == 0.0
+
+    def test_grad_clip_norm_zero_or_negative_rejected(self):
+        with pytest.raises(ValueError, match="grad_clip_norm"):
+            make_adamw(1e-3, grad_clip_norm=0.0)
+        with pytest.raises(ValueError, match="grad_clip_norm"):
+            make_grouped_optimizer(
+                {"a": jnp.ones(2)}, lambda p: "g", {"g": 1e-3},
+                grad_clip_norm=-1.0,
+            )
+
 
 class TestExperimentIntegration:
     def test_traditional_with_schedule_and_clip(self, tmp_path):

@@ -100,6 +100,42 @@ class TestBatchingServer:
                 out, predictor.predict_proba(req), rtol=0, atol=1e-6
             )
 
+    def test_mixed_shapes_do_not_poison_each_other(self, predictor):
+        """Concurrent requests with different (h, w) must each succeed:
+        the coalescer only concatenates same-shape requests (a mixed
+        np.concatenate would fail BOTH futures)."""
+        rng = np.random.default_rng(7)
+        a = _images(rng, 2)  # 32x32
+        b = rng.integers(0, 255, size=(2, 48, 48, 3)).astype(np.uint8)
+        with BatchingServer(predictor, max_delay_ms=100.0) as srv:
+            fa, fb = srv.submit(a), srv.submit(b)
+            out_a = fa.result(timeout=60)
+            out_b = fb.result(timeout=60)
+        np.testing.assert_allclose(
+            out_a, predictor.predict_proba(a), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            out_b, predictor.predict_proba(b), atol=1e-6
+        )
+
+    def test_empty_request_rejected(self, predictor):
+        with BatchingServer(predictor, max_delay_ms=5.0) as srv:
+            with pytest.raises(ValueError, match="non-empty"):
+                srv.submit(np.zeros((0, 32, 32, 3), np.uint8))
+
+    def test_cancelled_future_does_not_kill_worker(self, predictor):
+        """A caller-cancelled future must not raise InvalidStateError in
+        the worker (which would leave every later request hanging)."""
+        rng = np.random.default_rng(8)
+        with BatchingServer(predictor, max_delay_ms=200.0) as srv:
+            f1 = srv.submit(_images(rng, 2))
+            f1.cancel()  # still queued (worker waits for the delay)
+            f2 = srv.submit(_images(rng, 2))
+            out = f2.result(timeout=60)  # worker must still be alive
+            assert out.shape == (2, 10)
+            f3 = srv.submit(_images(rng, 1))
+            assert f3.result(timeout=60).shape == (1, 10)
+
     def test_submit_after_close_raises(self, predictor):
         srv = BatchingServer(predictor, max_delay_ms=1.0)
         srv.close()
