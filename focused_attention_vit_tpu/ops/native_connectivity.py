@@ -43,16 +43,24 @@ def _build() -> Optional[str]:
         _SRC
     ):
         return _LIB
+    # Build to a per-pid temp path and os.replace (atomic) so a second
+    # process never dlopens a half-written .so.
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-        _SRC, "-o", _LIB,
+        _SRC, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
         logger.info("built native connectivity: %s", _LIB)
         return _LIB
     except Exception as e:  # no compiler / failed build → fallback
         logger.info("native connectivity unavailable (%s)", e)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 
@@ -67,13 +75,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
         path = _build()
         if path is None:
             return None
-        lib = ctypes.CDLL(path)
-        lib.favit_enforce_connectivity.restype = ctypes.c_int
-        lib.favit_enforce_connectivity.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ]
+        try:
+            lib = ctypes.CDLL(path)
+            lib.favit_enforce_connectivity.restype = ctypes.c_int
+            lib.favit_enforce_connectivity.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
+        except OSError as e:
+            # Stale/foreign/corrupt .so must degrade to the documented
+            # None fallback, not crash slic_segment(auto).
+            logger.info("native connectivity dlopen failed (%s)", e)
+            return None
         _lib = lib
         return _lib
 

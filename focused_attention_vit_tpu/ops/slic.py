@@ -305,8 +305,15 @@ def _adjacent_component(comp: jnp.ndarray, big: int) -> jnp.ndarray:
     )
 
 
+# skimage's default min_size_factor (segmentation/_slic.pyx): components
+# smaller than this fraction of the mean segment size get merged. Shared
+# by the device path (_enforce_connectivity) and the host C++ kernel so
+# the two enforcement paths apply the same threshold.
+MIN_SIZE_FACTOR = 0.5
+
+
 def _enforce_connectivity(
-    seg: jnp.ndarray, num_segments: int, min_size_factor: float = 0.5
+    seg: jnp.ndarray, num_segments: int, min_size_factor: float = MIN_SIZE_FACTOR
 ) -> jnp.ndarray:
     """skimage-style connectivity enforcement, on device, static shapes.
 
@@ -488,16 +495,31 @@ def slic_segment(
     if host:
         from focused_attention_vit_tpu.ops import native_connectivity
 
-        min_size = int(round(0.5 * (h * w / num_segments)))
+        min_size = int(round(MIN_SIZE_FACTOR * (h * w / num_segments)))
 
         def _host_fn(lab):
             return native_connectivity.enforce_connectivity_host(
                 np.asarray(lab), min_size, num_segments
             )
 
-        out = jax.pure_callback(
-            _host_fn,
-            jax.ShapeDtypeStruct(out.shape, jnp.int32),
-            out,
-        )
+        if isinstance(out, jax.core.Tracer):
+            # Traced (inside jit): the callback's operands are produced by
+            # the same program, so they are materialized before the
+            # custom-call runs.
+            out = jax.pure_callback(
+                _host_fn,
+                jax.ShapeDtypeStruct(out.shape, jnp.int32),
+                out,
+            )
+        else:
+            # Eager: call the host kernel directly on the concrete value.
+            # Routing eager calls through pure_callback can DEADLOCK on a
+            # single-threaded CPU runtime — the callback's one-op program
+            # may start (occupying the only executor thread) while its
+            # input is still being produced by the asynchronously
+            # dispatched k-means program, which then never gets a thread.
+            # Reproduced via `SPPPViT.init` (eager dispatch) on this
+            # 1-core machine; inside-jit and multi-device runs are
+            # unaffected.
+            out = jnp.asarray(_host_fn(out))
     return out[0] if single else out

@@ -169,9 +169,7 @@ def spmd_pipeline(
         n_micro=m,
         axis=axis,
     )
-    pspec = jax.tree.map(
-        lambda leaf: P(axis, *([None] * (leaf.ndim - 1))), params_stacked
-    )
+    pspec = stage_sharding_rules(params_stacked, mesh, axis)
     if dropout_key is not None:
         f = jax.shard_map(
             local,

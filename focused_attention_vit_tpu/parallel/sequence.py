@@ -43,12 +43,26 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def _broadcast_row(x: jnp.ndarray, own: jnp.ndarray, axis: str) -> jnp.ndarray:
-    """All-shards copy of the single global row selected by ``own`` [L]."""
-    contrib = jnp.sum(
-        x * own[None, None, :, None].astype(x.dtype), axis=2, keepdims=True
+def _broadcast_rows(k, v, own0, ownS, axis: str):
+    """All-shards copies of global rows 0 and S-1 of K and V.
+
+    One stacked [B, h, 4, d] psum instead of four [B, h, 1, d] ones —
+    these tiny collectives are latency-bound, and every block pays them
+    once per step."""
+
+    def row(x, own):
+        return jnp.sum(
+            x * own[None, None, :, None].astype(x.dtype),
+            axis=2, keepdims=True,
+        )
+
+    stacked = jnp.concatenate(
+        [row(k, own0), row(v, own0), row(k, ownS), row(v, ownS)], axis=2
     )
-    return jax.lax.psum(contrib, axis)  # [B, h, 1, d]
+    stacked = jax.lax.psum(stacked, axis)  # [B, h, 4, d]
+    return tuple(
+        jax.lax.slice_in_dim(stacked, i, i + 1, axis=2) for i in range(4)
+    )
 
 
 def _sp_band_local(
@@ -85,10 +99,9 @@ def _sp_band_local(
     gidx = idx * L + jnp.arange(L)
 
     # Global edge rows (the circular part of the reference edge rule).
-    k0 = _broadcast_row(k_l, gidx == 0, axis)
-    v0 = _broadcast_row(v_l, gidx == 0, axis)
-    kS = _broadcast_row(k_l, gidx == s_true - 1, axis)
-    vS = _broadcast_row(v_l, gidx == s_true - 1, axis)
+    k0, v0, kS, vS = _broadcast_rows(
+        k_l, v_l, gidx == 0, gidx == s_true - 1, axis
+    )
 
     # Pad rows (beyond the true sequence) act as copies of row 0 — exactly
     # the right-edge halo of ops/window._halo_pad.

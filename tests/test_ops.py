@@ -1044,6 +1044,30 @@ class TestNativeConnectivity:
         )
         assert (seg == seg2).all()
 
+    def test_slic_host_mode_eager_bypasses_pure_callback(self, monkeypatch):
+        """Eager (non-traced) host-connectivity calls must invoke the C++
+        kernel directly, NOT via jax.pure_callback: routing an eager call
+        through the callback machinery deadlocks a single-threaded CPU
+        runtime (the callback's one-op program occupies the only executor
+        thread while its input is still being produced by the async
+        k-means program — reproduced via SPPPViT.init on a 1-core host).
+        Pin the routing by making pure_callback explode."""
+        rng = np.random.default_rng(6)
+        img = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+
+        def boom(*a, **k):
+            raise AssertionError("eager host path used pure_callback")
+
+        monkeypatch.setattr(jax, "pure_callback", boom)
+        seg = np.asarray(
+            slic_segment(
+                img, num_segments=16, compactness=0.1,
+                enforce_connectivity="host",
+            )
+        )
+        assert seg.shape == (2, 32, 32)
+        assert seg.min() >= 0 and seg.max() < 16
+
     def test_host_partition_agrees_with_device_on_patch_dominant(self):
         """Host vs on-device enforcement: same consumption-granularity
         result (patch-dominant superpixel under optimal label matching),
