@@ -33,16 +33,24 @@ _tried = False
 def _build() -> Optional[str]:
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return _LIB
+    # Temp path + atomic os.replace: a concurrent process must never
+    # dlopen a half-written .so.
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-        _SRC, "-o", _LIB,
+        _SRC, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
         logger.info("built native batcher: %s", _LIB)
         return _LIB
     except Exception as e:  # no compiler / failed build → numpy fallback
         logger.info("native batcher unavailable (%s)", e)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 
@@ -57,7 +65,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         path = _build()
         if path is None:
             return None
-        lib = ctypes.CDLL(path)
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError as e:  # stale/foreign .so → numpy fallback
+            logger.info("native batcher dlopen failed (%s)", e)
+            return None
         lib.favit_prefetcher_create.restype = ctypes.c_void_p
         lib.favit_prefetcher_create.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p,
@@ -69,10 +81,6 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.favit_prefetcher_destroy.argtypes = [ctypes.c_void_p]
-        lib.favit_gather_batch.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
-        ]
         _lib = lib
         return _lib
 
@@ -104,12 +112,18 @@ class NativePrefetcher:
         if lib is None:
             raise RuntimeError("native batcher unavailable")
         self._lib = lib
-        # Own contiguous copies: the C++ side holds raw pointers.
+        # Own contiguous copies: the C++ side holds raw pointers. The
+        # byte-level gather assumes uint8 items (anything else would
+        # silently copy the wrong byte count per image).
+        if images.dtype != np.uint8:
+            raise TypeError(
+                f"NativePrefetcher requires uint8 images, got {images.dtype}"
+            )
         self._images = np.ascontiguousarray(images)
         self._labels = np.ascontiguousarray(labels.astype(np.int32))
         self.batch_size = batch_size
         self.item_shape = self._images.shape[1:]
-        item_bytes = int(np.prod(self.item_shape))
+        item_bytes = int(self._images[0].nbytes) if len(self._images) else 0
         self._handle = lib.favit_prefetcher_create(
             self._images.ctypes.data_as(ctypes.c_void_p),
             self._labels.ctypes.data_as(ctypes.c_void_p),
@@ -128,6 +142,10 @@ class NativePrefetcher:
 
     def epoch_batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         while True:
+            if self._closed:
+                # A live generator after close() must stop, not call into
+                # the freed C++ object (use-after-free).
+                return
             n = self._lib.favit_prefetcher_next(
                 self._handle,
                 self._out_img.ctypes.data_as(ctypes.c_void_p),

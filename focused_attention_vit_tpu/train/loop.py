@@ -8,6 +8,7 @@ of the reference's per-step ``loss.item()`` syncs.
 
 from __future__ import annotations
 
+import logging
 import time
 from typing import Any, Callable, Dict, Optional
 
@@ -203,43 +204,55 @@ def train_and_evaluate(
                 )
         except Exception:
             prefetcher = None
+        # The two paths shuffle with different RNGs (C++ mt19937_64 vs
+        # numpy default_rng), so same-seed runs are reproducible only
+        # within a path — say which one ran instead of diverging silently.
+        logging.getLogger(__name__).info(
+            "train batch pipeline: %s",
+            "native C++ prefetcher" if prefetcher is not None
+            else "numpy iterator",
+        )
 
     total_start = time.time()
-    for epoch in range(epochs):
-        t0 = time.time()
-        epoch_key = jax.random.fold_in(base_key, epoch)
-        state, tr_loss, tr_acc = _epoch_pass(
-            train_step,
-            state,
-            data["train_images"],
-            data["train_labels"],
-            batch_size,
-            epoch_key,
-            np_rng,
-            prefetcher=prefetcher,
-        )
-        val = evaluate(
-            eval_step, state, data["test_images"], data["test_labels"], batch_size
-        )
-        epoch_time = time.time() - t0
+    try:
+        for epoch in range(epochs):
+            t0 = time.time()
+            epoch_key = jax.random.fold_in(base_key, epoch)
+            state, tr_loss, tr_acc = _epoch_pass(
+                train_step,
+                state,
+                data["train_images"],
+                data["train_labels"],
+                batch_size,
+                epoch_key,
+                np_rng,
+                prefetcher=prefetcher,
+            )
+            val = evaluate(
+                eval_step, state, data["test_images"], data["test_labels"],
+                batch_size,
+            )
+            epoch_time = time.time() - t0
 
-        train_losses.append(tr_loss)
-        train_accs.append(tr_acc)
-        val_losses.append(val["loss"])
-        val_accs.append(val["acc"])
-        epoch_times.append(epoch_time)
+            train_losses.append(tr_loss)
+            train_accs.append(tr_acc)
+            val_losses.append(val["loss"])
+            val_accs.append(val["acc"])
+            epoch_times.append(epoch_time)
 
-        log_fn(
-            f"Epoch {epoch + 1}/{epochs} | "
-            f"Train Loss: {tr_loss:.4f} | Train Acc: {tr_acc:.2f}% | "
-            f"Val Loss: {val['loss']:.4f} | Val Acc: {val['acc']:.2f}% | "
-            f"Time: {epoch_time:.2f}s"
-        )
-        if epoch_callback is not None:
-            epoch_callback(epoch, state)
-
-    if prefetcher is not None:
-        prefetcher.close()
+            log_fn(
+                f"Epoch {epoch + 1}/{epochs} | "
+                f"Train Loss: {tr_loss:.4f} | Train Acc: {tr_acc:.2f}% | "
+                f"Val Loss: {val['loss']:.4f} | Val Acc: {val['acc']:.2f}% | "
+                f"Time: {epoch_time:.2f}s"
+            )
+            if epoch_callback is not None:
+                epoch_callback(epoch, state)
+    finally:
+        # Also on exceptions: the worker thread + the pinned full-dataset
+        # copies must not outlive a failed run until some later GC.
+        if prefetcher is not None:
+            prefetcher.close()
 
     total_training_time = time.time() - total_start
     return {

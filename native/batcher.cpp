@@ -70,12 +70,18 @@ class Prefetcher {
     cv_.wait(lk, [&] { return s.ready || stop_; });
     if (stop_) return -1;
     int64_t count = s.count;
-    if (!s.end_of_epoch) {
+    bool eoe = s.end_of_epoch;
+    // Copy outside the lock, mirroring the writer: the slot is
+    // exclusively the reader's while `ready` is set (the writer waits
+    // for !ready), so holding mu_ across a multi-MB memcpy would only
+    // serialize the consumer against the worker's slot handoffs.
+    lk.unlock();
+    if (!eoe) {
       std::memcpy(out_images, s.images.data(),
                   static_cast<size_t>(count) * item_bytes_);
       std::memcpy(out_labels, s.labels.data(), count * sizeof(int32_t));
     }
-    bool eoe = s.end_of_epoch;
+    lk.lock();
     s.ready = false;
     ++read_idx_;
     cv_.notify_all();
@@ -90,7 +96,11 @@ class Prefetcher {
         std::shuffle(perm_.begin(), perm_.end(), rng_);
       }
       int64_t limit = drop_last_ ? n_ - (n_ % batch_) : n_;
-      for (int64_t start = 0; start <= limit; start += batch_) {
+      // Emit every batch, then ALWAYS one end-of-epoch sentinel slot —
+      // a `start <= limit` step-by-batch loop would skip the sentinel
+      // whenever limit % batch != 0 (drop_last=false with a ragged
+      // tail), fusing epochs forever on the consumer side.
+      for (int64_t start = 0; true; start += batch_) {
         bool eoe = start >= limit;
         int64_t count =
             eoe ? 0 : std::min<int64_t>(batch_, limit - start);
@@ -152,17 +162,5 @@ int64_t favit_prefetcher_next(void* p, uint8_t* out_images,
 }
 
 void favit_prefetcher_destroy(void* p) { delete static_cast<Prefetcher*>(p); }
-
-// One-shot gather (no thread): used for deterministic eval batching.
-void favit_gather_batch(const uint8_t* images, const int32_t* labels,
-                        const int64_t* indices, int64_t count,
-                        int64_t item_bytes, uint8_t* out_images,
-                        int32_t* out_labels) {
-  for (int64_t i = 0; i < count; ++i) {
-    std::memcpy(out_images + i * item_bytes, images + indices[i] * item_bytes,
-                item_bytes);
-    out_labels[i] = labels[indices[i]];
-  }
-}
 
 }  // extern "C"

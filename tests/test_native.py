@@ -55,3 +55,34 @@ def test_no_shuffle_preserves_order():
     out = np.concatenate([yb for _, yb in pf.epoch_batches()])
     np.testing.assert_array_equal(out, labels)
     pf.close()
+
+
+def test_ragged_tail_epoch_terminates():
+    """drop_last=False with n % batch != 0: the worker must still emit
+    the end-of-epoch sentinel (a step-by-batch `start <= limit` loop
+    skipped it, fusing epochs forever)."""
+    images, labels = _data(10)
+    pf = NativePrefetcher(images, labels, 4, drop_last=False, seed=3)
+    counts = [len(yb) for _, yb in pf.epoch_batches()]
+    assert counts == [4, 4, 2]
+    # and the next epoch is again a fresh, terminating epoch
+    counts2 = [len(yb) for _, yb in pf.epoch_batches()]
+    assert counts2 == [4, 4, 2]
+    pf.close()
+
+
+def test_generator_after_close_stops():
+    """A live epoch generator after close() must stop, not call into the
+    freed C++ object."""
+    images, labels = _data(64)
+    pf = NativePrefetcher(images, labels, 16, seed=4)
+    gen = pf.epoch_batches()
+    next(gen)
+    pf.close()
+    assert list(gen) == []
+
+
+def test_non_uint8_rejected():
+    images, labels = _data(16)
+    with pytest.raises(TypeError, match="uint8"):
+        NativePrefetcher(images.astype(np.float32), labels, 8)
