@@ -359,11 +359,17 @@ class ExperimentBase:
                     print(f"Resumed from checkpoint epoch {latest}")
 
         def epoch_cb(epoch, state):
-            if epoch == half:
+            # `epoch` is local to this (possibly resumed) segment; all
+            # bookkeeping uses the GLOBAL epoch so checkpoints continue
+            # the step numbering (a resumed run must not rewrite steps
+            # 1..k and strand latest_step at the old maximum) and the
+            # mid-run probe fires at the intended run midpoint.
+            g = start_epoch + epoch
+            if g == half:
                 self.state = state
                 memory_usage.append(self._memory_probe(backward=True))
             if ckpt_mngr is not None:
-                ckpt_mngr.save(epoch + 1, state)
+                ckpt_mngr.save(g + 1, state)
 
         with profiling.trace(self.profile_dir):
             results = train_and_evaluate(
@@ -374,6 +380,7 @@ class ExperimentBase:
                 epochs=max(0, self.epochs - start_epoch),
                 batch_size=self.batch_size,
                 seed=self.seed,
+                epoch_offset=start_epoch,
                 epoch_callback=epoch_cb,
             )
         if ckpt_mngr is not None:

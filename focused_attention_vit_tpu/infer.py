@@ -134,6 +134,9 @@ class Predictor:
     def predict_proba(self, images_u8: np.ndarray) -> np.ndarray:
         """[N, h, w, C] uint8 → [N, num_classes] probabilities."""
         n = len(images_u8)
+        if n == 0:
+            num_classes = int(self.model.num_classes)
+            return np.zeros((0, num_classes), dtype=np.float32)
         out = []
         for start in range(0, n, self.batch_size):
             chunk = images_u8[start : start + self.batch_size]

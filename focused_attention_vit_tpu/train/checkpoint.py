@@ -60,10 +60,24 @@ class CheckpointManager:
 
 
 def save_params(path: str, params: Any) -> str:
-    """Serialize a bare param pytree to msgpack (pretrained-weight cache)."""
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(jax.device_get(params)))
+    """Serialize a bare param pytree to msgpack (pretrained-weight cache).
+
+    Written to a temp path + atomic ``os.replace`` so a crash mid-write
+    (the exact scenario checkpointing exists to survive) cannot destroy
+    the previous good copy."""
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.{os.getpid()}.tmp"
+    try:
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(params)))
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return path
 
 

@@ -173,17 +173,24 @@ def train_and_evaluate(
     epochs: int,
     batch_size: int,
     seed: int = 42,
+    epoch_offset: int = 0,
     log_fn: Callable[[str], None] = print,
     epoch_callback: Optional[Callable[[int, Any], None]] = None,
 ) -> Dict[str, Any]:
     """Run the reference training protocol: per-epoch train + val pass.
+
+    ``epoch_offset`` is the number of epochs already trained before this
+    call (checkpoint resume): per-epoch RNG keys are derived from the
+    GLOBAL epoch index and the shuffle streams are seeded per segment, so
+    a resumed run does not replay the exact batch order / augmentation
+    randomness its first epochs already consumed.
 
     Returns the training-metrics dict with the reference's keys
     (experiments/traditional.py:255-266).
     """
     train_losses, train_accs, val_losses, val_accs, epoch_times = [], [], [], [], []
     base_key = jax.random.PRNGKey(seed)
-    np_rng = np.random.default_rng(seed)
+    np_rng = np.random.default_rng([seed, epoch_offset])
 
     # Native C++ prefetcher (background batch assembly, native/batcher.cpp);
     # falls back to the numpy iterator when no toolchain is available.
@@ -200,7 +207,7 @@ def train_and_evaluate(
                     data["train_images"],
                     data["train_labels"],
                     batch_size,
-                    seed=seed,
+                    seed=seed + 1_000_003 * epoch_offset,
                 )
         except Exception:
             prefetcher = None
@@ -217,7 +224,7 @@ def train_and_evaluate(
     try:
         for epoch in range(epochs):
             t0 = time.time()
-            epoch_key = jax.random.fold_in(base_key, epoch)
+            epoch_key = jax.random.fold_in(base_key, epoch_offset + epoch)
             state, tr_loss, tr_acc = _epoch_pass(
                 train_step,
                 state,

@@ -331,3 +331,49 @@ def test_mhla_auto_microbatch_geometry_rule(dirs):
     e.mesh = None
     e.batch_size = 32
     assert e._effective_microbatch() == 8
+
+
+def test_checkpoint_resume_continues_global_step(dirs, tmp_path):
+    """Auto-resume continues the GLOBAL checkpoint numbering: a 2-epoch
+    run leaves steps {1,2}; rerunning the same config at 4 epochs resumes
+    from 2 and must save steps 3 and 4 (not rewrite 1..2, which would
+    strand latest_step at the old maximum and make a third restart
+    restore stale weights)."""
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(TINY, epochs=2)
+    e1 = exp.TraditionalViTExperiment(**kw, **dirs, checkpoint_dir=ckpt)
+    e1.run()
+    from focused_attention_vit_tpu.train.checkpoint import CheckpointManager
+
+    m = CheckpointManager(ckpt)
+    assert m.latest_step() == 2
+    m.close()
+
+    kw = dict(TINY, epochs=4)
+    e2 = exp.TraditionalViTExperiment(**kw, **dirs, checkpoint_dir=ckpt)
+    e2.run()
+    m = CheckpointManager(ckpt)
+    assert m.latest_step() == 4
+    m.close()
+    # the resumed segment trained only 2 epochs
+    assert len(e2.metrics["training"]["train_losses"]) == 2
+
+
+def test_predictor_empty_batch_returns_empty(dirs):
+    from focused_attention_vit_tpu.infer import Predictor
+    from focused_attention_vit_tpu.models import VisionTransformer
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    model = VisionTransformer(
+        img_size=16, patch_size=4, num_classes=7, embed_dim=32, depth=1,
+        num_heads=2, dtype=jnp.float32,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3))
+    )["params"]
+    p = Predictor(model, params, img_size=16, batch_size=4,
+                  compute_dtype=jnp.float32)
+    out = p.predict_proba(np.zeros((0, 16, 16, 3), np.uint8))
+    assert out.shape == (0, 7)
