@@ -201,8 +201,28 @@ class ExperimentBase:
                 subset_size=self.subset_size,
                 seed=self.seed,
             )
+        # The dataset is the authority on class count: an ImageFolder tree
+        # has however many class dirs it has — a head built for the config
+        # default would train on out-of-range labels and feed mis-shaped
+        # probabilities to the detailed metrics.
+        data_classes = self.data.get("num_classes")
+        if data_classes and data_classes != self.num_classes:
+            print(
+                f"num_classes: {self.dataset} provides {data_classes} "
+                f"classes (config said {self.num_classes}) — using "
+                f"{data_classes}"
+            )
+            self.num_classes = int(data_classes)
         self.mesh = self._build_mesh()
         self.model = self.build_model()
+        for flag in ("scan_layers", "remat"):
+            if getattr(self, flag, False) and not hasattr(self.model, flag):
+                raise ValueError(
+                    f"--{flag} is not supported by "
+                    f"{type(self.model).__name__} (token-reduced SPPP "
+                    f"models have tiny per-block state; the flag targets "
+                    f"the long-sequence transformer stacks)"
+                )
         if self.mesh is not None and "seq" in self.mesh.axis_names:
             # Sequence parallelism: the model itself carries the sp mesh
             # (token-axis GSPMD constraint + halo-exchange attention).
@@ -268,6 +288,19 @@ class ExperimentBase:
         mb = self.microbatch
         if mb == 0:
             return None
+        if mb is not None and mb < 0:
+            raise ValueError(f"--microbatch must be positive (got {mb})")
+        if mb is not None and self.mesh is not None:
+            # make_train_step force-disables microbatching under a mesh
+            # (chunking would reshape across the batch-sharded axis);
+            # silently ignoring an explicit flag would invalidate any
+            # benchmark built on it.
+            raise ValueError(
+                "--microbatch cannot be combined with a device mesh "
+                "(--num_devices/--tp/--sp/--pp): the mesh already shrinks "
+                "the per-device batch and in-step chunking would reshape "
+                "across the sharded axis"
+            )
         if mb is None:
             # Auto: single-device only; a mesh already shrinks the
             # per-device batch.

@@ -377,3 +377,57 @@ def test_predictor_empty_batch_returns_empty(dirs):
                   compute_dtype=jnp.float32)
     out = p.predict_proba(np.zeros((0, 16, 16, 3), np.uint8))
     assert out.shape == (0, 7)
+
+
+def test_explicit_microbatch_with_mesh_rejected(dirs):
+    """--microbatch with a device mesh must error loudly — make_train_step
+    force-disables chunking under a mesh, so silently accepting the flag
+    would invalidate any benchmark built on it."""
+    e = exp.TraditionalViTExperiment(
+        **TINY, **dirs, num_devices=8, microbatch=4
+    )
+    with pytest.raises(ValueError, match="microbatch"):
+        e.run()
+
+
+def test_negative_microbatch_rejected(dirs):
+    e = exp.TraditionalViTExperiment(**TINY, **dirs, microbatch=-1)
+    with pytest.raises(ValueError, match="positive"):
+        e.run()
+
+
+def test_sppp_scan_layers_rejected(dirs):
+    """SPPP models have no scan/remat support — the flag must error, not
+    silently no-op (the --pp error message even told users to pass it)."""
+    e = exp.SPPPExperiment(
+        **{**TINY, "batch_size": 16}, **dirs, num_superpixels=4,
+        scan_layers=True,
+    )
+    with pytest.raises(ValueError, match="scan_layers"):
+        e.run()
+
+
+def test_dataset_class_count_overrides_config(dirs, tmp_path, monkeypatch):
+    """An ImageFolder tree with N class dirs must produce an N-way head
+    regardless of the config default (out-of-range labels train garbage
+    and mis-shape the detailed metrics)."""
+    import numpy as np
+    import PIL.Image as Image
+
+    root = tmp_path / "data" / "imagenet"
+    for split in ("train", "val"):
+        for cls in ("a", "b", "c"):
+            d = root / split / cls
+            d.mkdir(parents=True)
+            Image.fromarray(
+                np.zeros((8, 8, 3), np.uint8)
+            ).save(d / "x.png")
+    e = exp.TraditionalViTExperiment(
+        **{**TINY, "num_classes": 10, "subset_size": 0, "batch_size": 2},
+        data_dir=str(tmp_path / "data"),
+        results_dir=dirs["results_dir"],
+        dataset="imagenet",
+    )
+    e.setup()
+    assert e.num_classes == 3
+    assert e.model.num_classes == 3
