@@ -473,18 +473,15 @@ class MultiHeadLatentAttention(nn.Module):
             # expectation; at the 2·(W//2) edge rows a duplicated key draws
             # ONE Bernoulli for its merged weight instead of one per
             # duplicated slot — same mean, negligibly different variance.
-            bias = jnp.asarray(
-                window_ops._band_log_multiplicity(s, self.window_size)
-            )
-            logits = jnp.einsum(
-                "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32
-            ) * (d**-0.5) + bias
-            weights = jax.nn.softmax(logits, axis=-1)
-            weights = nn.Dropout(self.dropout)(
-                weights, deterministic=deterministic
-            )
-            out = jnp.einsum(
-                "bhst,bhtd->bhsd", weights.astype(v.dtype), v
+            # Shares ops/window's single definition via the
+            # weights_transform hook (a copy here could silently diverge
+            # from the eval path on a numerics fix).
+            drop = nn.Dropout(self.dropout)
+            out = window_ops._dense_band_attention(
+                q, k, v, self.window_size,
+                weights_transform=lambda wts: drop(
+                    wts, deterministic=deterministic
+                ),
             )
         elif (
             self.dropout > 0.0
@@ -513,29 +510,15 @@ class MultiHeadLatentAttention(nn.Module):
         elif self.dropout > 0.0 and not deterministic:
             # Train-mode attention-weight dropout on the [B,h,S,W] window
             # weights (reference: models/mhla.py:146-147) — gather
-            # formulation (masked attention or tiny S).
-            table = jnp.asarray(
-                window_ops.window_index_table(s, self.window_size)
-            )
-            k_win = jnp.take(k, table, axis=2)
-            v_win = jnp.take(v, table, axis=2)
-            logits = jnp.einsum(
-                "bhsd,bhswd->bhsw", q, k_win,
-                preferred_element_type=jnp.float32,
-            ) * (d**-0.5)
-            if attention_mask is not None:
-                mask_win = jnp.take_along_axis(
-                    attention_mask, table[None, :, :], axis=2
-                )[:, None]
-                logits = jnp.where(
-                    mask_win == 0, jnp.finfo(logits.dtype).min, logits
-                )
-            weights = jax.nn.softmax(logits, axis=-1)
-            weights = nn.Dropout(self.dropout)(
-                weights, deterministic=deterministic
-            )
-            out = jnp.einsum(
-                "bhsw,bhswd->bhsd", weights.astype(v.dtype), v_win
+            # formulation (masked attention or tiny S), sharing
+            # ops/window's single definition via the weights_transform
+            # hook.
+            drop = nn.Dropout(self.dropout)
+            out = window_ops._gather_windowed_attention(
+                q, k, v, self.window_size, attention_mask,
+                weights_transform=lambda wts: drop(
+                    wts, deterministic=deterministic
+                ),
             )
         else:
             out = window_ops.windowed_latent_attention(

@@ -88,7 +88,9 @@ class VisionTransformer(nn.Module):
             jnp.float32,
         )
         self.pos_drop = nn.Dropout(self.embed_dropout)
-        block_kwargs = dict(
+        # Single source of truth for block construction — the scan, loop,
+        # and pipeline paths must all build identical blocks.
+        self.block_kwargs = block_kwargs = dict(
             embed_dim=self.embed_dim,
             num_heads=self.num_heads,
             mlp_ratio=self.mlp_ratio,
@@ -138,13 +140,7 @@ class VisionTransformer(nn.Module):
             x = apply_pipelined_blocks(
                 self,
                 TransformerBlock(
-                    embed_dim=self.embed_dim,
-                    num_heads=self.num_heads,
-                    mlp_ratio=self.mlp_ratio,
-                    dropout=self.dropout,
-                    attn_dropout=self.attn_dropout,
-                    use_flash=self.use_flash,
-                    dtype=self.dtype,
+                    **self.block_kwargs,
                     parent=None,  # unbound template, applied functionally
                 ),
                 x,

@@ -87,7 +87,9 @@ class VisionTransformerMHLA(nn.Module):
             jnp.float32,
         )
         self.pos_drop = nn.Dropout(self.embed_dropout)
-        block_kwargs = dict(
+        # Single source of truth for block construction — the scan, loop,
+        # and pipeline paths must all build identical blocks.
+        self.block_kwargs = block_kwargs = dict(
             embed_dim=self.embed_dim,
             num_heads=self.num_heads,
             window_size=self.window_size,
@@ -159,17 +161,7 @@ class VisionTransformerMHLA(nn.Module):
             x = apply_pipelined_blocks(
                 self,
                 SwitchableTransformerBlock(
-                    embed_dim=self.embed_dim,
-                    num_heads=self.num_heads,
-                    window_size=self.window_size,
-                    mlp_ratio=self.mlp_ratio,
-                    dropout=self.dropout,
-                    attn_dropout=self.attn_dropout,
-                    use_mhla=self.use_mhla,
-                    use_flash=self.use_flash,
-                    sp_mesh=self.sp_mesh,
-                    sp_axis=self.sp_axis,
-                    dtype=self.dtype,
+                    **self.block_kwargs,
                     parent=None,  # unbound template, applied functionally
                 ),
                 x,

@@ -83,13 +83,17 @@ def _gather_windowed_attention(
     v: jnp.ndarray,
     window_size: int,
     attention_mask: jnp.ndarray | None = None,
+    weights_transform=None,
 ) -> jnp.ndarray:
     """Direct table-gather formulation (correctness reference).
 
     Materializes the ``[B, h, S, W, d]`` window tensor — memory-heavy, like
     the reference's torch.gather path (models/mhla.py:117-126). Used for
     tiny sequences, masked attention, and as the oracle the fast paths are
-    tested against.
+    tested against. ``weights_transform`` (optional) is applied to the
+    ``[B, h, S, W]`` softmax weights — the train-mode attention-weight
+    dropout hook (reference models/mhla.py:146-147), threaded here so the
+    training path shares this single definition of the semantics.
     """
     b, h, s, d = q.shape
     table = jnp.asarray(window_index_table(s, window_size))  # [S, W]
@@ -108,8 +112,12 @@ def _gather_windowed_attention(
         )[:, None]
         logits = jnp.where(mask_win == 0, jnp.finfo(logits.dtype).min, logits)
 
-    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhsw,bhswd->bhsd", weights, v_win)
+    weights = jax.nn.softmax(logits, axis=-1)
+    if weights_transform is not None:
+        weights = weights_transform(weights)
+    return jnp.einsum(
+        "bhsw,bhswd->bhsd", weights.astype(v.dtype), v_win
+    )
 
 
 @functools.lru_cache(maxsize=32)
@@ -143,21 +151,29 @@ DENSE_BAND_MAX_SEQ = 512
 
 
 def _dense_band_attention(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, window_size: int
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, window_size: int,
+    weights_transform=None,
 ) -> jnp.ndarray:
-    """Exact windowed attention as dense masked attention (short S).
+    """Windowed attention as dense masked attention (short S).
 
     Matches the gather oracle bit-for-bit in semantics — including the
     duplicated-edge-key softmax multiplicity — via the log-multiplicity
-    bias; no separate edge-row fix-up needed.
+    bias; no separate edge-row fix-up needed. ``weights_transform``
+    (optional) applies to the ``[B, h, S, S]`` masked weights: train-mode
+    dropout draws ONE Bernoulli per merged duplicated-edge key instead of
+    one per slot — same mean, negligibly different variance (the
+    dense-band working set is what restores the microbatch lever,
+    BASELINE.md round 3).
     """
     b, h, s, d = q.shape
     bias = jnp.asarray(_band_log_multiplicity(s, window_size))
     logits = jnp.einsum(
         "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32
     ) * (d**-0.5) + bias
-    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhst,bhtd->bhsd", weights, v)
+    weights = jax.nn.softmax(logits, axis=-1)
+    if weights_transform is not None:
+        weights = weights_transform(weights)
+    return jnp.einsum("bhst,bhtd->bhsd", weights.astype(v.dtype), v)
 
 
 @functools.lru_cache(maxsize=32)
@@ -189,15 +205,20 @@ def _blocked_band_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, window_size: int,
     block: "int | None" = None,
 ) -> jnp.ndarray:
-    """Exact windowed attention as *blocked* dense attention on the MXU.
+    """Windowed attention as *blocked* dense attention on the MXU.
 
     Query tiles of T rows attend their ``[iT-halo, iT+T+halo)`` key slab
     (halo = W//2), so logits are ``n`` batched ``[T, T+2·halo]`` matmuls —
     the tile-band formulation of ops/mhla_kernel_v4 expressed in XLA,
     where Mosaic's alignment rules can't interfere. The static per-tile
-    log-multiplicity bias (see :func:`_band_log_multiplicity`) reproduces
-    the reference's duplicated-edge-key softmax semantics exactly, edges
-    included. Work is O(S·(T+2·halo)·d) ≈ O(S·T·d) instead of dense
+    log-multiplicity bias (see :func:`_band_log_multiplicity`) gives
+    interior rows the reference's duplicated-edge-key softmax semantics.
+    NOT exact standalone: the first/last W//2 *global* rows duplicate
+    keys S-1/0 from outside their tile's slab, so this function's edge
+    rows are wrong on their own — reach it through
+    :func:`windowed_latent_attention` (impl='blocked'), whose edge-row
+    overwrite repairs them (pinned by TestWindowedAttention).
+    Work is O(S·(T+2·halo)·d) ≈ O(S·T·d) instead of dense
     O(S²·d); K/V are read ~(1+2·halo/T)× instead of the shift path's W×.
     """
     b, h, s, d = q.shape
