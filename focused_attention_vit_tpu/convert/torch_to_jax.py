@@ -30,6 +30,8 @@ reference models/vit.py:90-92) reshapes into this exactly: row index
 
 from __future__ import annotations
 
+import logging
+
 from typing import Any, Dict, Mapping
 
 import numpy as np
@@ -379,7 +381,7 @@ def hf_vit_to_flax(
     return params
 
 
-def split_fused_qkv(qkv_kernel: np.ndarray, qkv_bias: np.ndarray):
+def split_fused_qkv(qkv_kernel: np.ndarray, qkv_bias=None):
     """Head-shaped fused qkv kernel [D, 3, h, d] → (q, k, v) kernels
     [D, D] + biases [D].
 
@@ -387,11 +389,24 @@ def split_fused_qkv(qkv_kernel: np.ndarray, qkv_bias: np.ndarray):
     which keep separate flat q/k/v projections — the inverse of the HF
     concat (the reference does this split at
     experiments/attention.py:245-266). Flat [D, 3D] input (the torch fused
-    layout transposed) is also accepted.
+    layout transposed) is also accepted. ``qkv_bias`` may be None
+    (qkv_bias=False checkpoints) — the returned biases are then zeros,
+    mirroring the fuse path's tolerance of missing biases.
     """
     qkv_kernel = np.asarray(qkv_kernel)
-    qkv_bias = np.asarray(qkv_bias)
     d_in = qkv_kernel.shape[0]
+    d_out = (
+        qkv_kernel.shape[1] // 3
+        if qkv_kernel.ndim == 2
+        else qkv_kernel.shape[2] * qkv_kernel.shape[3]
+    )
+    if qkv_bias is None:
+        qkv_bias = (
+            np.zeros((3 * d_out,), np.float32)
+            if qkv_kernel.ndim == 2
+            else np.zeros((3,) + qkv_kernel.shape[2:], np.float32)
+        )
+    qkv_bias = np.asarray(qkv_bias)
     if qkv_kernel.ndim == 2:  # flat [D, 3D]
         qw, kw, vw = np.split(qkv_kernel, 3, axis=1)
         qb, kb, vb = np.split(qkv_bias, 3, axis=0)
@@ -405,6 +420,31 @@ def split_fused_qkv(qkv_kernel: np.ndarray, qkv_bias: np.ndarray):
 # Surgery transforms (ViT params → variant params)
 # ---------------------------------------------------------------------------
 
+def _check_depth(vit_params: Mapping[str, Any], depth: int) -> None:
+    """Validate the checkpoint's block stack and surface depth mismatches.
+
+    A checkpoint deeper than the target model is legitimate (the
+    shape-checked merge copies the matching prefix — e.g. a 2-block test
+    model fine-tuning from ViT-B/12), and a shallower one random-inits
+    the tail; both are logged. A stack with HOLES (blocks_0, blocks_2 but
+    no blocks_1) can only be corruption — that is an error."""
+    have = sorted(
+        int(k.split("_", 1)[1])
+        for k in vit_params
+        if k.startswith("blocks_")
+    )
+    if have != list(range(len(have))):
+        raise ValueError(
+            f"checkpoint block stack has holes: {have}"
+        )
+    if have and len(have) != depth:
+        logging.getLogger(__name__).info(
+            "surgery: checkpoint has %d blocks, target model depth %d — "
+            "the merge copies the matching prefix",
+            len(have), depth,
+        )
+
+
 def vit_params_to_mhla(
     vit_params: Mapping[str, Any],
     depth: int,
@@ -416,6 +456,7 @@ def vit_params_to_mhla(
     Identity init makes MHLA(W→∞) ≈ the pretrained MHA at load time
     (reference: experiments/mhla_pretrained.py:224-225).
     """
+    _check_depth(vit_params, depth)
     out: Dict[str, Any] = {}
     for key, val in vit_params.items():
         if key == "pos_embed" and not keep_pos_embed:
@@ -452,6 +493,7 @@ def vit_params_to_cross(
     block is called as self-attention) — the reference surgery at
     experiments/attention.py:203-293.
     """
+    _check_depth(vit_params, depth)
     out: Dict[str, Any] = {}
     for key, val in vit_params.items():
         if key == "pos_embed" and not keep_pos_embed:
@@ -461,7 +503,7 @@ def vit_params_to_cross(
             attn_in = blk["attn"]
             (qw, qb), (kw, kb), (vw, vb) = split_fused_qkv(
                 np.asarray(attn_in["qkv"]["kernel"]),
-                np.asarray(attn_in["qkv"]["bias"]),
+                attn_in["qkv"].get("bias"),
             )
             out_proj = dict(attn_in["proj"])
             out_k = np.asarray(out_proj["kernel"])

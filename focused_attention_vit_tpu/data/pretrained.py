@@ -117,7 +117,16 @@ def load_pretrained_vit_params(
     """
     cfg = variant_config(variant)
     os.makedirs(cache_dir, exist_ok=True)
-    msg = _msgpack_path(cache_dir, variant)
+    # Cache entries are keyed on SOURCE as well as variant: torchvision
+    # in1k and HF in21k are different pretrainings with different
+    # numerics — a cache written by one must never satisfy a request for
+    # the other. (The torchvision names keep the reference's own cache
+    # filename convention, utils/data_utils.py:291-303.)
+    msg = (
+        _msgpack_path(cache_dir, f"{variant}_hf")
+        if source == "huggingface"
+        else _msgpack_path(cache_dir, variant)
+    )
 
     # 0. Pre-converted Flax pytree cache: fastest, torch-free.
     if os.path.exists(msg):
@@ -125,9 +134,10 @@ def load_pretrained_vit_params(
         logger.info("Loaded converted msgpack cache %s", msg)
         return _apply_head_rule(params, num_classes), cfg
 
-    # 1. Reference-style torch cache file (converted full, then cached).
+    # 1. Reference-style torch cache file (converted full, then cached) —
+    #    torchvision-sourced only.
     pth = os.path.join(cache_dir, f"{variant}_weights.pth")
-    if os.path.exists(pth):
+    if source != "huggingface" and os.path.exists(pth):
         sd = _load_torch_state_dict(pth)
         logger.info("Loaded cached torch checkpoint %s", pth)
         params = torchvision_vit_to_flax(
@@ -150,6 +160,13 @@ def load_pretrained_vit_params(
                 "vit_l_16": "google/vit-large-patch16-224-in21k",
             }.get(variant, variant)
             model = ViTModel.from_pretrained(hf_name, local_files_only=True)
+        except Exception as e:  # no snapshot / no network — ONLY this is
+            # a legitimate miss; conversion errors below must propagate
+            # (a mapping bug mislabeled as a cache miss silently
+            # random-inits the whole fine-tune).
+            logger.info("No local HF snapshot (%s)", e)
+            model = None
+        if model is not None:
             sd = model.state_dict()
             logger.info("Loaded local HF snapshot %s", hf_name)
             params = hf_vit_to_flax(
@@ -160,8 +177,6 @@ def load_pretrained_vit_params(
             )
             _write_msgpack_cache(msg, params)
             return _apply_head_rule(params, num_classes), cfg
-        except Exception as e:  # no snapshot / no network
-            logger.info("No local HF snapshot (%s)", e)
 
     # 3. Live torchvision download — unavailable in this environment (no
     #    torchvision, zero egress); kept for API completeness.

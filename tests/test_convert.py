@@ -1,5 +1,7 @@
 """Converter-format tests: torchvision and HuggingFace layouts, merge rules."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -146,3 +148,54 @@ def test_merge_matching_shapes(rng):
     assert copied == 1 and skipped == 1
     np.testing.assert_array_equal(merged["a"], 1.0)
     np.testing.assert_array_equal(merged["b"]["c"], 0.0)
+
+
+def test_split_fused_qkv_biasless():
+    """qkv_bias=False checkpoints: the split path must tolerate a missing
+    bias like the fuse path does (zeros out)."""
+    rng = np.random.default_rng(3)
+    kern = rng.normal(size=(8, 3, 2, 4)).astype(np.float32)
+    (qw, qb), (kw, kb), (vw, vb) = split_fused_qkv(kern, None)
+    assert qw.shape == (8, 8) and qb.shape == (8,)
+    assert (qb == 0).all() and (kb == 0).all() and (vb == 0).all()
+
+
+def test_surgery_block_holes_raise():
+    """A checkpoint whose block stack has holes can only be corruption;
+    depth mismatches (deeper/shallower checkpoint) are legitimate merge
+    cases and stay allowed."""
+    from focused_attention_vit_tpu.convert.torch_to_jax import (
+        vit_params_to_mhla,
+    )
+
+    params = {"blocks_0": {"attn": {}}, "blocks_2": {"attn": {}}}
+    with pytest.raises(ValueError, match="holes"):
+        vit_params_to_mhla(params, depth=4, head_dim=8)
+    # deeper checkpoint than model: allowed (prefix merge)
+    ok = {f"blocks_{i}": {"attn": {}} for i in range(3)}
+    out = vit_params_to_mhla(ok, depth=2, head_dim=8)
+    assert "latent_proj" in out["blocks_0"]["attn"]
+
+
+def test_pretrained_cache_keyed_on_source(tmp_path):
+    """A torchvision-derived msgpack cache must NOT satisfy an HF request
+    (different pretrainings, different numerics)."""
+    from focused_attention_vit_tpu.data import pretrained as P
+
+    cache = str(tmp_path / "cache")
+    os.makedirs(cache)
+    # Plant a fake torchvision-keyed msgpack cache.
+    from focused_attention_vit_tpu.train.checkpoint import save_params
+
+    fake = {"cls_token": np.zeros((1, 1, 4), np.float32)}
+    save_params(P._msgpack_path(cache, "vit_b_16"), fake)
+    # torchvision request hits it; HF request must MISS it (and, with no
+    # local HF snapshot in this environment, fall back to None).
+    params_tv, _ = P.load_pretrained_vit_params(
+        "vit_b_16", source="torchvision", cache_dir=cache
+    )
+    assert params_tv is not None
+    params_hf, _ = P.load_pretrained_vit_params(
+        "vit_b_16", source="huggingface", cache_dir=cache
+    )
+    assert params_hf is None
