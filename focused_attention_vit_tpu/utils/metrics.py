@@ -204,14 +204,25 @@ def measure_memory_usage(
     cpu_after = process.memory_info().rss if process else 0
     after = _device_memory_stats()
 
-    peak = after.get("device_peak_bytes", 0.0)
+    # The allocator peak is process-lifetime-monotone and PJRT has no
+    # reset (the reference calls torch.cuda.reset_peak_memory_stats before
+    # measuring, utils/metrics.py:264-265) — report the peak RELATIVE to
+    # the bytes live at entry, so measuring a small model after a large
+    # one doesn't inherit the large model's peak.
+    used_before = before.get("device_bytes_in_use", 0.0)
+    used_after = after.get("device_bytes_in_use", 0.0)
+    peak = max(after.get("device_peak_bytes", 0.0) - used_before, 0.0)
+    used = used_after - used_before
     return {
         "cpu_memory_before_bytes": cpu_before,
         "cpu_memory_after_bytes": cpu_after,
         "cpu_memory_used_bytes": cpu_after - cpu_before,
         "cpu_memory_used_mb": (cpu_after - cpu_before) / (1024 * 1024),
-        "device_memory_before_bytes": before.get("device_bytes_in_use", 0.0),
-        "device_memory_after_bytes": after.get("device_bytes_in_use", 0.0),
+        "device_memory_before_bytes": used_before,
+        "device_memory_after_bytes": used_after,
+        # Reference key names (utils/metrics.py:303-307).
+        "gpu_memory_used_bytes": used,
+        "gpu_memory_used_mb": used / (1024 * 1024),
         "gpu_memory_peak_bytes": peak,
         "gpu_memory_peak_mb": peak / (1024 * 1024),
     }
@@ -226,6 +237,7 @@ def benchmark_model(
     batch_size: int = 1,
     num_inference_iterations: int = 100,
     num_training_iterations: int = 10,
+    warm_up: int = 250,
     seed: int = 0,
 ) -> Dict[str, Any]:
     """Model-size + inference/training time + memory in one dict
@@ -245,7 +257,7 @@ def benchmark_model(
 
     inference_time = measure_inference_time(
         apply, params, x,
-        num_iterations=num_inference_iterations, warm_up=25,
+        num_iterations=num_inference_iterations, warm_up=warm_up,
     )
     memory_inference = measure_memory_usage(lambda p: apply(p, x), params)
 
@@ -267,6 +279,9 @@ def benchmark_model(
     training_time, _ = measure_training_time(
         train_step, state, x, y, num_iterations=num_training_iterations
     )
+    memory_training = measure_memory_usage(
+        lambda p: model.apply({"params": p}, x), params, backward=True
+    )
 
     return {
         "theoretical": {"model_size": calculate_model_size(params)},
@@ -274,5 +289,6 @@ def benchmark_model(
             "inference_time": inference_time,
             "training_time": training_time,
             "memory_usage_inference": memory_inference,
+            "memory_usage_training": memory_training,
         },
     }
