@@ -141,9 +141,44 @@ def bench_eval_latency(model, batch, img_size, iters=30, chunk=None):
     return p50_synced, float(steady)
 
 
+def _probe_backend(timeout_s: int = 180) -> None:
+    """Fail fast (with a clear message) instead of hanging forever when
+    the axon tunnel is down: PJRT device init blocks indefinitely during
+    outages (CLAUDE.md), so probe it in a killable subprocess first."""
+    import subprocess
+
+    code = "import jax; jax.devices()"
+    try:
+        subprocess.run(
+            [sys.executable, "-c", code],
+            env=dict(os.environ),
+            timeout=timeout_s,
+            check=True,
+            capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            json.dumps({
+                "metric": "error",
+                "value": 0,
+                "unit": "none",
+                "vs_baseline": 0,
+                "extra": {
+                    "error": f"device init hung > {timeout_s}s — the TPU "
+                             "tunnel is down; bench aborted instead of "
+                             "hanging"
+                },
+            })
+        )
+        sys.exit(1)
+    except subprocess.CalledProcessError:
+        pass  # init errors loudly — let the real run report it
+
+
 def main():
     from focused_attention_vit_tpu.utils.tpu_setup import configure as _configure
 
+    _probe_backend()
     _configure()
 
     from focused_attention_vit_tpu.models import (
