@@ -44,6 +44,7 @@ qkv einsum can emit directly — ``bsD,Dhd->bhds``); output matches. The
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,8 +54,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Query-tile width in lanes. 640 divides the padded reference-default
 # sequence exactly (3137 → 3200 = 5×640) and keeps the per-step VMEM
-# footprint (k/v rows + q/out tiles) around 1 MB.
-DEFAULT_TILE = 640
+# footprint (k/v rows + q/out tiles) around 1 MB. Env-overridable for
+# tile sweeps (must be a multiple of 128 — in-kernel lane slices are
+# 128-aligned).
+DEFAULT_TILE = int(os.environ.get("FAVIT_ROLL_TILE", "640"))
+if DEFAULT_TILE % 128:
+    raise ValueError("FAVIT_ROLL_TILE must be a multiple of 128")
 _HALO = 128  # lane-aligned halo: covers any o < 128 ≥ W-1
 
 
