@@ -1,0 +1,38 @@
+"""End-to-end A/B at the bench s3137 MHLA config: default path vs
+FAVIT_MHLA_IMPL=roll (v5 lane-roll band kernel).
+
+Run (TPU): PYTHONPATH=/root/repo:/root/.axon_site python tools/ab_roll_e2e.py
+Env: AB_MB (default 8), AB_SCAN (default 1), AB_IMPLS (comma list).
+
+Staged during the round-3 axon outage (BASELINE.md "attack #5"): A/Bs the
+production config (36.6 img/s) against FAVIT_MHLA_IMPL=roll; the judge bar
+is 40 img/s at batch 32.
+"""
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+from focused_attention_vit_tpu.utils.tpu_setup import configure
+
+configure()
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, "/root/repo")
+import bench  # noqa: E402
+
+mb = int(os.environ.get("AB_MB", "8"))
+scan = os.environ.get("AB_SCAN", "1") == "1"
+impls = os.environ.get("AB_IMPLS", "auto,roll").split(",")
+
+from focused_attention_vit_tpu.models import VisionTransformerMHLA  # noqa
+
+for impl in impls:
+    os.environ["FAVIT_MHLA_IMPL"] = impl
+    m = VisionTransformerMHLA(
+        img_size=224, patch_size=4, num_classes=10, embed_dim=768,
+        depth=12, num_heads=12, dropout=0.1, dtype=jnp.bfloat16,
+        window_size=7, use_mhla=True, scan_layers=scan, remat=True,
+    )
+    ips = bench.bench_train(m, 32, 224, microbatch=mb)
+    print(f"impl={impl} mb={mb} scan={scan}: {ips:.2f} img/s", flush=True)
