@@ -272,7 +272,7 @@ class TestWindowedAttention:
                 np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-4
             )
 
-    @pytest.mark.parametrize("s,w", [(900, 7), (65, 7), (197, 5), (640, 7)])
+    @pytest.mark.parametrize("s,w", [(900, 7), (65, 7), (197, 5), (640, 7), (1281, 7)])
     def test_roll_band_matches_shift_fwd_and_grad(self, rng, s, w,
                                                   monkeypatch):
         """v5 lane-roll compact band (ops/mhla_band_roll.py, S-minor
