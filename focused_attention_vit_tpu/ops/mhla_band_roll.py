@@ -124,10 +124,15 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
     d = q_ref.shape[1]
 
     q = q_ref[0].astype(jnp.float32)
-    ks = k_ref[0, :, pl.ds(i * t, t + _HALO)]
-    vs = v_ref[0, :, pl.ds(i * t, t + _HALO)]
+    # Upcast BEFORE the rolls: this Mosaic lowers pltpu.roll to
+    # tpu.dynamic_rotate, which is implemented for 32-bit element types
+    # only ("Rotate with non-32-bit data" on bf16 — measured on the axon
+    # toolchain, round 3). bf16→f32 widening is exact, so the band's
+    # numerics are bit-identical to rolling bf16 then upcasting.
+    ks = k_ref[0, :, pl.ds(i * t, t + _HALO)].astype(jnp.float32)
+    vs = v_ref[0, :, pl.ds(i * t, t + _HALO)].astype(jnp.float32)
 
-    k_sh = [_shifted(ks, o, t).astype(jnp.float32) for o in range(w)]
+    k_sh = [_shifted(ks, o, t) for o in range(w)]
     wts = _band_weights(q, k_sh, scale)
     if rate > 0.0:
         keep = _keep_mask((w, t), rate, seed_ref[0], b, i)
@@ -135,7 +140,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
 
     acc = jnp.zeros((d, t), jnp.float32)
     for o in range(w):
-        acc = acc + wts[o : o + 1] * _shifted(vs, o, t).astype(jnp.float32)
+        acc = acc + wts[o : o + 1] * _shifted(vs, o, t)
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
@@ -152,11 +157,12 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref,
 
     q = q_ref[0].astype(jnp.float32)
     g = g_ref[0].astype(jnp.float32)
-    ks = k_ref[0, :, pl.ds(i * t, ext)]
-    vs = v_ref[0, :, pl.ds(i * t, ext)]
+    # f32 before the rolls — see _fwd_kernel (Mosaic rotate is 32-bit-only).
+    ks = k_ref[0, :, pl.ds(i * t, ext)].astype(jnp.float32)
+    vs = v_ref[0, :, pl.ds(i * t, ext)].astype(jnp.float32)
 
-    k_sh = [_shifted(ks, o, t).astype(jnp.float32) for o in range(w)]
-    v_sh = [_shifted(vs, o, t).astype(jnp.float32) for o in range(w)]
+    k_sh = [_shifted(ks, o, t) for o in range(w)]
+    v_sh = [_shifted(vs, o, t) for o in range(w)]
 
     wts = _band_weights(q, k_sh, scale)  # pre-dropout [w, T]
 

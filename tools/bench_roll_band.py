@@ -34,14 +34,16 @@ k_ds = jnp.asarray(k.transpose(0, 1, 3, 2))
 v_ds = jnp.asarray(v.transpose(0, 1, 3, 2))
 
 
-def loop(fn, *args):
-    def body(c, _):
-        out = fn(*[a + c for a in args])
-        return c + out.ravel()[0].astype(c.dtype) * 0, out.ravel()[0]
+def loop(fn, *_template):
+    # The arrays MUST flow through run's parameters, not a closure: jit
+    # embeds closed-over device arrays as HLO constants, and the axon
+    # remote-compile request then ships 3x154 MB of literals -> HTTP 413.
     def run(*args):
+        def body(c, _):
+            out = fn(*[a + c for a in args])
+            return c + out.ravel()[0].astype(c.dtype) * 0, out.ravel()[0]
         c0 = jnp.zeros((), args[0].dtype)
-        c, outs = jax.lax.scan(lambda c, _: body(c, None), c0,
-                               None, length=ITERS)
+        _, outs = jax.lax.scan(body, c0, None, length=ITERS)
         return outs.sum()
     return jax.jit(run)
 

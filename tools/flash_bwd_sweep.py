@@ -39,16 +39,18 @@ v = jnp.asarray(rng.normal(size=(B, H, SP, D)), dtype=jnp.bfloat16)
 
 
 def timeit(f, *args):
-    def body(c, _):
-        outs = f(*[a + c for a in args])
-        leaf = jax.tree_util.tree_leaves(outs)[0]
-        return c + leaf.ravel()[0].astype(c.dtype) * 0, leaf.ravel()[0]
-
+    # Arrays must flow through run's parameters, not a closure: jit embeds
+    # closed-over device arrays as HLO constants and the axon remote
+    # compile rejects the 3x154 MB literal payload with HTTP 413.
     @jax.jit
     def run(*args):
+        def body(c, _):
+            outs = f(*[a + c for a in args])
+            leaf = jax.tree_util.tree_leaves(outs)[0]
+            return c + leaf.ravel()[0].astype(c.dtype) * 0, leaf.ravel()[0]
+
         c0 = jnp.zeros((), jnp.float32)
-        _, outs = jax.lax.scan(lambda c, _: body(c, None), c0, None,
-                               length=ITERS)
+        _, outs = jax.lax.scan(body, c0, None, length=ITERS)
         return outs.sum()
 
     r = run(*args)
