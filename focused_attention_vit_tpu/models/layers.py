@@ -343,12 +343,28 @@ class MultiHeadLatentAttention(nn.Module):
         head_dim = self.embed_dim // self.num_heads
         long_s = x.shape[1] > window_ops.DENSE_BAND_MAX_SEQ
 
+        impl_env = os.environ.get("FAVIT_MHLA_IMPL", "auto")
         if (
             long_s
             and attention_mask is None
             and x.shape[1] > 2 * self.window_size
             and self.sp_mesh is None
-            and os.environ.get("FAVIT_MHLA_IMPL") == "roll"
+            and (
+                impl_env == "roll"
+                # Production auto: eval (deterministic) long-S forward on
+                # the real TPU takes the roll kernel — measured 1.33×
+                # band fwd / +7% end-to-end eval at S=3137 b32 (roll
+                # 125.2 vs shift 117.0 img/s, BASELINE.md "attack #5").
+                # Training keeps the XLA shift band: the roll backward's
+                # VPU passes lose to XLA's fused band bwd (29.8 vs
+                # 25.5 ms fwd+bwd) — and a deterministic forward under
+                # grad still gets correct (slower) custom-VJP grads.
+                or (
+                    impl_env == "auto"
+                    and deterministic
+                    and jax.default_backend() == "tpu"
+                )
+            )
         ):
             # v5 lane-roll band path (ops/mhla_band_roll.py): the whole
             # attention sublayer stays in the kernel's native S-minor

@@ -117,8 +117,11 @@ def _band_weights(q, k_sh, scale: float):
     return e / jnp.sum(e, axis=0, keepdims=True)
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, w_ref=None, *,
                 w: int, t: int, scale: float, rate: float):
+    """``w_ref`` (band-weights residual out) is present only on the
+    custom-VJP forward; the primal/eval kernel omits it — the write is
+    inside pallas so XLA cannot DCE it, and eval shouldn't pay it."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     d = q_ref.shape[1]
@@ -129,27 +132,40 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
     # only ("Rotate with non-32-bit data" on bf16 — measured on the axon
     # toolchain, round 3). bf16→f32 widening is exact, so the band's
     # numerics are bit-identical to rolling bf16 then upcasting.
+    # K and V roll TOGETHER as one [2d, ext] vector: offset o's key and
+    # value views need the same lane shift, so one rotate serves both —
+    # half the rotate ops of per-operand rolls.
     ks = k_ref[0, :, pl.ds(i * t, t + _HALO)].astype(jnp.float32)
     vs = v_ref[0, :, pl.ds(i * t, t + _HALO)].astype(jnp.float32)
+    kv = jnp.concatenate([ks, vs], axis=0)  # [2d, ext]
 
-    k_sh = [_shifted(ks, o, t) for o in range(w)]
-    wts = _band_weights(q, k_sh, scale)
+    kv_sh = [_shifted(kv, o, t) for o in range(w)]
+    wts = _band_weights(q, [x[:d] for x in kv_sh], scale)
+    if w_ref is not None:
+        # Residual for the backward: PRE-dropout weights (bwd re-derives
+        # the mask from the seed). Rows padded to the 8-sublane tile and
+        # stored as one full block (sub-tile sublane stores hit Mosaic's
+        # 8-row alignment rule).
+        w_ref[0] = jnp.pad(wts, ((0, w_ref.shape[1] - w), (0, 0)))
     if rate > 0.0:
         keep = _keep_mask((w, t), rate, seed_ref[0], b, i)
         wts = jnp.where(keep, wts / (1.0 - rate), 0.0)
 
     acc = jnp.zeros((d, t), jnp.float32)
     for o in range(w):
-        acc = acc + wts[o : o + 1] * _shifted(vs, o, t)
+        acc = acc + wts[o : o + 1] * kv_sh[o][d:]
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref,
-                dq_ref, dk_ref, dv_ref, *,
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, w_ref,
+                dq_ref, dkv_ref, *,
                 w: int, t: int, scale: float, rate: float):
-    """Per query-tile: recompute band weights (and the dropout mask from
-    the same seed), emit dq [d,T] plus this tile's dk/dv contributions
-    [d,T+_HALO] — disjoint per tile; the caller overlap-adds."""
+    """Per query-tile: reload the fwd's saved band weights (re-deriving
+    only the dropout mask from the seed), emit dq [d,T] plus this tile's
+    stacked dk/dv contributions [2d,T+_HALO] — disjoint per tile; the
+    caller overlap-adds. K‖V views and dk‖dv scatters each roll as ONE
+    [2d, ·] rotate per offset (rotates dominated the first-cut bwd's
+    22.6 ms: 24 per tile → 12 here)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     d = q_ref.shape[1]
@@ -160,15 +176,15 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref,
     # f32 before the rolls — see _fwd_kernel (Mosaic rotate is 32-bit-only).
     ks = k_ref[0, :, pl.ds(i * t, ext)].astype(jnp.float32)
     vs = v_ref[0, :, pl.ds(i * t, ext)].astype(jnp.float32)
+    kv = jnp.concatenate([ks, vs], axis=0)  # [2d, ext]
+    kv_sh = [_shifted(kv, o, t) for o in range(w)]
 
-    k_sh = [_shifted(ks, o, t) for o in range(w)]
-    v_sh = [_shifted(vs, o, t) for o in range(w)]
-
-    wts = _band_weights(q, k_sh, scale)  # pre-dropout [w, T]
+    wts = w_ref[0][:w]  # pre-dropout [w, T], saved by the fwd (full-block
+    # load, row slice in registers — sub-tile sublane loads are unaligned)
 
     # dL/d(dropped weights) and the dropped weights themselves.
     u = jnp.concatenate(
-        [jnp.sum(g * v_sh[o], axis=0, keepdims=True) for o in range(w)],
+        [jnp.sum(g * kv_sh[o][d:], axis=0, keepdims=True) for o in range(w)],
         axis=0,
     )
     if rate > 0.0:
@@ -183,19 +199,21 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref,
     dlog = wts * (dwts - dot)  # softmax backward [w, T]
 
     dq = jnp.zeros((d, t), jnp.float32)
-    dk_tile = jnp.zeros((d, ext), jnp.float32)
-    dv_tile = jnp.zeros((d, ext), jnp.float32)
+    dkv_tile = jnp.zeros((2 * d, ext), jnp.float32)
+    qs = q * scale
     for o in range(w):
-        dq = dq + dlog[o : o + 1] * k_sh[o] * scale
-        ck = jnp.pad(dlog[o : o + 1] * q * scale, ((0, 0), (0, _HALO)))
-        cv = jnp.pad(wd[o : o + 1] * g, ((0, 0), (0, _HALO)))
+        dq = dq + dlog[o : o + 1] * kv_sh[o][:d] * scale
+        ckv = jnp.pad(
+            jnp.concatenate(
+                [dlog[o : o + 1] * qs, wd[o : o + 1] * g], axis=0
+            ),
+            ((0, 0), (0, _HALO)),
+        )
         # Contribution lands on k_ext lanes [iT+o, iT+o+T): place at
         # tile-local lanes [o, o+T) by rolling right o lanes.
-        dk_tile = dk_tile + (pltpu.roll(ck, shift=o, axis=1) if o else ck)
-        dv_tile = dv_tile + (pltpu.roll(cv, shift=o, axis=1) if o else cv)
+        dkv_tile = dkv_tile + (pltpu.roll(ckv, shift=o, axis=1) if o else ckv)
     dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0] = dk_tile
-    dv_ref[0, 0] = dv_tile
+    dkv_ref[0, 0] = dkv_tile
 
 
 def _extend(x, s: int, w: int, s_pad: int):
@@ -248,8 +266,12 @@ def _fold_ext(d_ext, s: int, w: int):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _roll_band_core(q, k, v, seed, window_size: int, rate: float):
-    """custom_vjp core; ``seed`` is a [1] int32 array (traced OK)."""
-    out, _ = _roll_fwd(q, k, v, seed, window_size, rate)
+    """custom_vjp core; ``seed`` is a [1] int32 array (traced OK).
+
+    The primal (eval / no-grad) path runs the lean kernel WITHOUT the
+    band-weights residual output — only the VJP forward pays that write.
+    """
+    out, _ = _fwd_impl(q, k, v, seed, window_size, rate, save_wts=False)
     return out
 
 
@@ -292,7 +314,7 @@ def _pallas(fn, grid, in_specs, out_specs, out_shape):
     )
 
 
-def _roll_fwd(q, k, v, seed_arr, window_size, rate):
+def _fwd_impl(q, k, v, seed_arr, window_size, rate, save_wts: bool):
     b, h, d, s = q.shape
     w = window_size
     bh = b * h
@@ -303,28 +325,45 @@ def _roll_fwd(q, k, v, seed_arr, window_size, rate):
     v_ext = _extend(v.reshape(bh, d, s), s, w, s_pad)
     q_p = jnp.pad(qf, ((0, 0), (0, 0), (0, s_pad - s)))
 
+    wp = -(-w // 8) * 8  # saved-weights rows, padded to the sublane tile
     row_spec = pl.BlockSpec((1, d, s_pad + _HALO), lambda bb, i: (bb, 0, 0))
     tile_spec = pl.BlockSpec((1, d, t), lambda bb, i: (bb, 0, i))
-    out = _pallas(
+    wts_spec = pl.BlockSpec((1, wp, t), lambda bb, i: (bb, 0, i))
+    out_specs = [tile_spec]
+    out_shape = [jax.ShapeDtypeStruct((bh, d, s_pad), q.dtype)]
+    if save_wts:
+        out_specs.append(wts_spec)
+        # Pre-dropout band weights: the bwd kernel reloads these (39 MB
+        # at the reference geometry — ~0.1 ms of HBM) instead of
+        # recomputing the W logit reduces + softmax.
+        out_shape.append(jax.ShapeDtypeStruct((bh, wp, s_pad), jnp.float32))
+    res = _pallas(
         functools.partial(_fwd_kernel, w=w, t=t, scale=d**-0.5, rate=rate),
         grid=(bh, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             tile_spec, row_spec, row_spec,
         ],
-        out_specs=tile_spec,
-        out_shape=jax.ShapeDtypeStruct((bh, d, s_pad), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
     )(seed_arr, q_p, k_ext, v_ext)
+    out, wts = res if save_wts else (res[0], None)
     out = out[:, :, :s].reshape(b, h, d, s)
-    return out, (q, k, v, seed_arr)
+    return out, wts
+
+
+def _roll_fwd(q, k, v, seed_arr, window_size, rate):
+    out, wts = _fwd_impl(q, k, v, seed_arr, window_size, rate, save_wts=True)
+    return out, (q, k, v, seed_arr, wts)
 
 
 def _roll_bwd(window_size, rate, res, g):
-    q, k, v, seed_arr = res
+    q, k, v, seed_arr, wts = res
     b, h, d, s = q.shape
     w = window_size
     bh = b * h
     t, n_tiles, s_pad = _tiling(s, w)
+    wp = wts.shape[1]
 
     k_ext = _extend(k.reshape(bh, d, s), s, w, s_pad)
     v_ext = _extend(v.reshape(bh, d, s), s, w, s_pad)
@@ -336,26 +375,30 @@ def _roll_bwd(window_size, rate, res, g):
 
     row_spec = pl.BlockSpec((1, d, s_pad + _HALO), lambda bb, i: (bb, 0, 0))
     tile_spec = pl.BlockSpec((1, d, t), lambda bb, i: (bb, 0, i))
-    ext_spec = pl.BlockSpec((1, 1, d, t + _HALO), lambda bb, i: (bb, i, 0, 0))
-    dq, dk_t, dv_t = _pallas(
+    wts_spec = pl.BlockSpec((1, wp, t), lambda bb, i: (bb, 0, i))
+    ext2_spec = pl.BlockSpec(
+        (1, 1, 2 * d, t + _HALO), lambda bb, i: (bb, i, 0, 0)
+    )
+    dq, dkv_t = _pallas(
         functools.partial(_bwd_kernel, w=w, t=t, scale=d**-0.5, rate=rate),
         grid=(bh, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            tile_spec, row_spec, row_spec, tile_spec,
+            tile_spec, row_spec, row_spec, tile_spec, wts_spec,
         ],
-        out_specs=[tile_spec, ext_spec, ext_spec],
+        out_specs=[tile_spec, ext2_spec],
         out_shape=[
             jax.ShapeDtypeStruct((bh, d, s_pad), q.dtype),
-            jax.ShapeDtypeStruct((bh, n_tiles, d, t + _HALO), jnp.float32),
-            jax.ShapeDtypeStruct((bh, n_tiles, d, t + _HALO), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (bh, n_tiles, 2 * d, t + _HALO), jnp.float32
+            ),
         ],
-    )(seed_arr, q_p, k_ext, v_ext, g_p)
+    )(seed_arr, q_p, k_ext, v_ext, g_p, wts)
 
     oa = jax.vmap(lambda x: _overlap_add(x, s_pad, t))
     fold = jax.vmap(lambda x: _fold_ext(x, s, w))
-    dk = fold(oa(dk_t)).astype(k.dtype).reshape(b, h, d, s)
-    dv = fold(oa(dv_t)).astype(v.dtype).reshape(b, h, d, s)
+    dk = fold(oa(dkv_t[:, :, :d])).astype(k.dtype).reshape(b, h, d, s)
+    dv = fold(oa(dkv_t[:, :, d:])).astype(v.dtype).reshape(b, h, d, s)
     dq = dq[:, :, :s].reshape(b, h, d, s).astype(q.dtype)
     # seed is integer-typed: its cotangent is float0.
     dseed = np.zeros((1,), dtype=jax.dtypes.float0)

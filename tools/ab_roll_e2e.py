@@ -27,6 +27,8 @@ impls = os.environ.get("AB_IMPLS", "auto,roll").split(",")
 
 from focused_attention_vit_tpu.models import VisionTransformerMHLA  # noqa
 
+mode = os.environ.get("AB_MODE", "train")  # train | eval
+
 for impl in impls:
     os.environ["FAVIT_MHLA_IMPL"] = impl
     m = VisionTransformerMHLA(
@@ -34,5 +36,12 @@ for impl in impls:
         depth=12, num_heads=12, dropout=0.1, dtype=jnp.bfloat16,
         window_size=7, use_mhla=True, scan_layers=scan, remat=True,
     )
-    ips = bench.bench_train(m, 32, 224, microbatch=mb)
-    print(f"impl={impl} mb={mb} scan={scan}: {ips:.2f} img/s", flush=True)
+    if mode == "eval":
+        p50, steady = bench.bench_eval_latency(m, 32, 224)
+        print(
+            f"impl={impl} eval b32: p50 {p50*1e3:.2f} ms, steady "
+            f"{steady*1e3:.2f} ms = {32/steady:.2f} img/s", flush=True,
+        )
+    else:
+        ips = bench.bench_train(m, 32, 224, microbatch=mb)
+        print(f"impl={impl} mb={mb} scan={scan}: {ips:.2f} img/s", flush=True)
