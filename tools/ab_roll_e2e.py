@@ -2,7 +2,9 @@
 FAVIT_MHLA_IMPL=roll (v5 lane-roll band kernel).
 
 Run (TPU): PYTHONPATH=/root/repo:/root/.axon_site python tools/ab_roll_e2e.py
-Env: AB_MB (default 8), AB_SCAN (default 1), AB_IMPLS (comma list).
+Env: AB_MB (default 8), AB_SCAN (default 1), AB_IMPLS (comma list),
+AB_MODE (train|eval). FAVIT_ROLL_BWD=xla selects the hybrid backward
+(roll Pallas fwd + XLA band VJP from saved weights) for the roll impl.
 
 Staged during the round-3 axon outage (BASELINE.md "attack #5"): A/Bs the
 production config (36.6 img/s) against FAVIT_MHLA_IMPL=roll; the judge bar
