@@ -407,24 +407,28 @@ def _xla_band_bwd_from_wts(q, k, v, wts, g, w: int):
         axis=1,
     )  # [bh, w, s_pad]
     dot = jnp.sum(wts_b * u, axis=1, keepdims=True)
-    dlog = wts_b * (u - dot)  # softmax backward, f32
+    dlog = wts_b * (u - dot) * scale  # softmax bwd · logit scale, f32
 
-    dq = sum(
-        dlog[:, o : o + 1] * k_sh[o].astype(jnp.float32) for o in range(w)
-    ) * scale
+    # Large elementwise passes follow XLA-autodiff dtype discipline:
+    # cotangents in the primal dtype (bf16 in production) — the first
+    # cut accumulated in f32 and measured 27 ms bwd-only vs the shift
+    # path's ~15 (2× HBM bytes on every [bh,d,S]-sized read/accumulate).
+    # The f32→bf16 rounding happens on the small [bh,w,S] factors, not
+    # on the d-sized tensors.
+    dlog_c = dlog.astype(q.dtype)
+    wts_c = wts_b.astype(q.dtype)
+    dq = sum(dlog_c[:, o : o + 1] * k_sh[o] for o in range(w))
     dq = dq[:, :, :s].reshape(b, h, d, s).astype(q.dtype)
 
     # dk_ext/dv_ext: offset o's contribution lands on ext lanes [o, o+S).
     # Padded-query lanes contribute zero (g=0 there ⇒ u=0 ⇒ dlog=0).
-    qf = q_p.astype(jnp.float32) * scale
-    gf = g_p.astype(jnp.float32)
     ext_w = s_pad + w - 1
     dk_ext = sum(
-        jnp.pad(dlog[:, o : o + 1] * qf, ((0, 0), (0, 0), (o, w - 1 - o)))
+        jnp.pad(dlog_c[:, o : o + 1] * q_p, ((0, 0), (0, 0), (o, w - 1 - o)))
         for o in range(w)
     )
     dv_ext = sum(
-        jnp.pad(wts_b[:, o : o + 1] * gf, ((0, 0), (0, 0), (o, w - 1 - o)))
+        jnp.pad(wts_c[:, o : o + 1] * g_p, ((0, 0), (0, 0), (o, w - 1 - o)))
         for o in range(w)
     )
     assert dk_ext.shape[-1] == ext_w
