@@ -1,28 +1,41 @@
 """Minimal XLA repro of the S=3137 scheduling wall (VERDICT r2 task 1).
 
-BASELINE.md ("Reference-default geometry") measures the same LayerNorm
-sustaining ~298 GB/s standalone but ~25 GB/s effective inside the full
-ViT-B/4 train step, and attributes the 5-7x roofline gap to XLA
-scheduling at large live activation sets. This is the smallest program
-that reproduces the phenomenon — no framework code, no attention, just
-LayerNorm + residual adds:
+BASELINE.md ("Reference-default geometry") measures in-context
+elementwise ops running ~10x below their standalone bandwidth inside
+the ViT-B/4 train step and attributes the 5-7x roofline gap to XLA
+scheduling at large live activation sets. This script is the smallest
+program pair that isolates the phenomenon — no framework code, just a
+12-layer chain, grad'd monolithically vs microbatched (identical FLOPs
+and bytes; only the live saved-activation set differs, 12 x [32,3137,D]
+vs 12 x [8,3137,D]).
 
-  A. standalone       : y = LN(x)                      (1 live tensor)
-  B. monolithic grad  : grad of 12x residual-LN chain  (12 live saved
-                        activations of [32,3137,768] during the bwd)
-  C. microbatched grad: the SAME chain/grad, batch split into chunks of
-                        8 inside one jit (live set 4x smaller)
+Three chain bodies, selected per run:
+  - "ln":    x = x + LN_i(x)                  (bandwidth-only chain)
+  - "mlp":   x = x + gelu(LN_i(x) @ W1) @ W2  (the transformer mix)
+  - "block": full transformer block — qkv proj, shift-band windowed
+             attention (the production W=7 band from ops/window),
+             out proj, MLP — the real step minus data/optimizer.
 
-Identical FLOPs and HBM bytes per image in B and C; only the live-set
-size differs. B running far below A's bandwidth while C recovers most
-of it proves the bound is the scheduler, not the op or the memory
-system. Run on the TPU:
+Hardware results (2026-08-18, v5e, b32 bf16):
+  - "ln" does NOT reproduce the wall: grad runs at ~700 GB/s effective
+    and microbatching is neutral (0.89x).
+  - "mlp" does NOT reproduce it either: 154.5 ms/step monolithic
+    = ~221 TFLOP/s on the matmul FLOPs (at/above the bf16 nameplate
+    convention), microbatch-8 neutral at 1.03x.
+  So the round-2 hypothesis "XLA scheduling degrades with large live
+  activation sets" is NOT confirmed for plain LN/matmul chains — the
+  live-set size alone is harmless. Whatever the real model's
+  microbatch lever exploits must involve the band attention's
+  slice/stack/softmax traffic ("block" body) — see BASELINE.md
+  "round-3 scheduling-wall repro". Run on the TPU:
 
-  PYTHONPATH=/root/repo:/root/.axon_site python tools/s3137_sched_repro.py
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/s3137_sched_repro.py block
 
-Timing syncs via host transfer (jax.block_until_ready is a no-op on the
-axon PJRT plugin — CLAUDE.md).
+All timing loops ITERS steps INSIDE one jit (per-dispatch tunnel
+overhead is ~2.5 ms) and syncs via host transfer (block_until_ready is
+a no-op on the axon plugin — CLAUDE.md).
 """
+import functools
 import sys
 import time
 
@@ -31,14 +44,33 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-B, S, D, L = 32, 3137, 768, 12
+BODY = sys.argv[1] if len(sys.argv) > 1 else "mlp"
+ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+B, S, D, H, L = 32, 3137, 768, 3072, 12
+NH, W = 12, 7
+HD = D // NH
 DTYPE = jnp.bfloat16
-ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 
 rng = np.random.default_rng(0)
 x = jnp.asarray(rng.normal(size=(B, S, D)), dtype=DTYPE)
-scales = jnp.asarray(1.0 + 0.01 * rng.normal(size=(L, D)), dtype=jnp.float32)
-biases = jnp.asarray(0.01 * rng.normal(size=(L, D)), dtype=jnp.float32)
+params = {
+    "scale": jnp.asarray(1 + 0.01 * rng.normal(size=(L, D)), jnp.float32),
+    "bias": jnp.asarray(0.01 * rng.normal(size=(L, D)), jnp.float32),
+}
+if BODY in ("mlp", "block"):
+    params["w1"] = jnp.asarray(
+        rng.normal(size=(L, D, H)) / np.sqrt(D), DTYPE
+    )
+    params["w2"] = jnp.asarray(
+        rng.normal(size=(L, H, D)) / np.sqrt(H), DTYPE
+    )
+if BODY == "block":
+    params["wqkv"] = jnp.asarray(
+        rng.normal(size=(L, D, 3 * D)) / np.sqrt(D), DTYPE
+    )
+    params["wo"] = jnp.asarray(
+        rng.normal(size=(L, D, D)) / np.sqrt(D), DTYPE
+    )
 
 
 def ln(x, scale, bias):
@@ -49,58 +81,98 @@ def ln(x, scale, bias):
     return (y * scale + bias).astype(x.dtype)
 
 
-@jax.jit
-def standalone(x, scales, biases):
-    return ln(x, scales[0], biases[0])
+def layer(pi, x):
+    b = x.shape[0]
+    y = ln(x, pi["scale"], pi["bias"])
+    if BODY == "block":
+        from focused_attention_vit_tpu.ops.window import (
+            windowed_latent_attention,
+        )
+        qkv = jnp.einsum("bsd,de->bse", y, pi["wqkv"],
+                         preferred_element_type=jnp.float32).astype(DTYPE)
+        qkv = qkv.reshape(b, S, 3, NH, HD).transpose(2, 0, 3, 1, 4)
+        o = windowed_latent_attention(qkv[0], qkv[1], qkv[2], W)
+        o = o.transpose(0, 2, 1, 3).reshape(b, S, D)
+        x = x + jnp.einsum(
+            "bsd,de->bse", o, pi["wo"],
+            preferred_element_type=jnp.float32).astype(DTYPE)
+        y = ln(x, pi["scale"], pi["bias"])
+    if BODY in ("mlp", "block"):
+        y = jax.nn.gelu(
+            jnp.einsum("bsd,dh->bsh", y, pi["w1"],
+                       preferred_element_type=jnp.float32).astype(DTYPE)
+        )
+        y = jnp.einsum("bsh,hd->bsd", y, pi["w2"],
+                       preferred_element_type=jnp.float32).astype(DTYPE)
+    return x + y
 
 
 def chain_loss(params, x):
-    scales, biases = params
+    # "block" needs per-layer remat exactly like the real model (the
+    # no-remat monolithic chain OOMs 16G HBM at b32 — itself evidence
+    # that the production remat requirement is memory, not scheduling).
+    f = jax.checkpoint(layer) if BODY == "block" else layer
     for i in range(L):
-        x = x + ln(x, scales[i], biases[i])
-    return jnp.sum(x.astype(jnp.float32))
+        x = f(jax.tree.map(lambda p: p[i], params), x)
+    return jnp.mean(x.astype(jnp.float32) ** 2)
 
 
-@jax.jit
-def mono_grad(params, x):
+def grad_step(params, x, micro: int):
+    if micro:
+        def body(carry, xc):
+            g = jax.grad(chain_loss)(params, xc)
+            return jax.tree.map(jnp.add, carry, g), None
+
+        zero = jax.tree.map(jnp.zeros_like, params)
+        g, _ = jax.lax.scan(body, zero, x.reshape(B // micro, micro, S, D))
+        return g
     return jax.grad(chain_loss)(params, x)
 
 
-@jax.jit
-def micro_grad(params, x):
-    def body(carry, xc):
-        g = jax.grad(chain_loss)(params, xc)
-        return jax.tree.map(jnp.add, carry, g), None
+@functools.partial(jax.jit, static_argnames=("micro",))
+def bench(params, x, micro: int):
+    # ITERS dependent grad steps inside one program: fold each grad's
+    # sum back into a scalar perturbation so XLA cannot hoist the grad
+    # out of the loop. 1e-30*acc is exactly 0 ulp at f32/bf16 (eps ~1e-7)
+    # so per-step numerics are identical, but acc is dynamic so the
+    # compiler cannot prove loop-invariance.
+    def body(i, acc):
+        g = grad_step(
+            jax.tree.map(lambda p: p * (1 + 1e-30 * acc).astype(p.dtype),
+                         params),
+            x, micro,
+        )
+        return acc + jax.tree.leaves(g)[0].astype(jnp.float32).sum()
 
-    zero = jax.tree.map(jnp.zeros_like, params)
-    out, _ = jax.lax.scan(body, zero, x.reshape(4, B // 4, S, D))
-    return out
+    return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
 
 
-def timeit(fn, *args):
-    out = fn(*args)
-    _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])  # sync (compile+run)
+def timeit(micro):
+    _ = float(bench(params, x, micro))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(*args)
-    _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])
+    _ = float(bench(params, x, micro))
     return (time.perf_counter() - t0) / ITERS
 
 
-params = (scales, biases)
-bytes_ln = 2 * B * S * D * 2  # one LN: read + write bf16
-t_a = timeit(standalone, x, scales, biases)
-# Per chain step fwd: read x, read x again for +, write x' (+ LN r/w) —
-# count conservatively as 2 LN-equivalents fwd + 3 bwd per layer.
-t_b = timeit(mono_grad, params, x)
-t_c = timeit(micro_grad, params, x)
-
-eq = 5 * L  # LN-equivalent passes per grad step (fwd 2/layer + bwd 3/layer)
-print(f"A standalone LN [{B},{S},{D}]: {t_a*1e3:8.2f} ms "
-      f"= {bytes_ln/t_a/1e9:6.1f} GB/s")
-print(f"B monolithic 12-layer grad  : {t_b*1e3:8.2f} ms "
-      f"= {eq*bytes_ln/t_b/1e9:6.1f} GB/s effective per pass")
-print(f"C microbatch-8 same grad    : {t_c*1e3:8.2f} ms "
-      f"= {eq*bytes_ln/t_c/1e9:6.1f} GB/s effective per pass")
-print(f"B/C ratio (same FLOPs+bytes, only live-set size differs): "
-      f"{t_b/t_c:.2f}x")
+t_mono = timeit(0)
+t_micro = timeit(8)
+if BODY in ("mlp", "block"):
+    flops = 3 * L * 2 * 2 * B * S * D * H  # fwd+bwd(2x) MLP matmul FLOPs
+    if BODY == "block":
+        # qkv + out-proj matmuls (band attention FLOPs excluded: they
+        # are O(S·W·d), ~1% — the number below is matmul-normalized so
+        # runs are comparable to the "mlp" body, not an MFU claim)
+        flops += 3 * L * 2 * B * S * D * 4 * D
+    print(f"{BODY}-chain grad monolithic : {t_mono*1e3:8.1f} ms "
+          f"= {flops/t_mono/1e12:6.1f} TFLOP/s matmul-normalized")
+    print(f"{BODY}-chain grad microbatch8: {t_micro*1e3:8.1f} ms "
+          f"= {flops/t_micro/1e12:6.1f} TFLOP/s matmul-normalized")
+else:
+    passes = 5 * L  # LN-equivalent r/w passes per grad step
+    bts = passes * 2 * B * S * D * 2
+    print(f"ln-chain grad monolithic : {t_mono*1e3:8.1f} ms "
+          f"= {bts/t_mono/1e9:6.1f} GB/s effective")
+    print(f"ln-chain grad microbatch8: {t_micro*1e3:8.1f} ms "
+          f"= {bts/t_micro/1e9:6.1f} GB/s effective")
+print(f"mono/micro ratio (same FLOPs+bytes, live set 4x larger): "
+      f"{t_mono/t_micro:.2f}x")
