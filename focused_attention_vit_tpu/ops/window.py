@@ -392,6 +392,85 @@ def _shift_banded_attention_nsh(
     return out.astype(q.dtype)
 
 
+def _shift_banded_attention_ds(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    window_size: int,
+    weights_transform=None,
+) -> jnp.ndarray:
+    """Shift-banded attention on S-minor ``[B, h, d, S]`` operands.
+
+    The DS twin of :func:`_shift_banded_attention` — same halo pad (along
+    the minor S axis), same ``[B, h, W, S]`` logit/weight layout (so the
+    ``weights_transform`` dropout hook is shape-identical), same f32
+    softmax algebra. The point of the layout: fed from an S-minor
+    residual stream, every surrounding matmul (qkv/latent/merge, the
+    MLP) contracts a non-minor axis and none of the per-layer
+    ``[B,S,h,d] → [B,h,S,d]`` physical relayouts exist (measured ~215
+    ms/step of the S=3137 b32 ViT-B/4 step — BASELINE.md round-3
+    bisect; removal measured in tools/s3137_sched_repro.py
+    ``block_sminor``).
+    """
+    b, h, d, s = q.shape
+    w = window_size
+
+    kp = _halo_pad(k, w, axis=3)
+    vp = _halo_pad(v, w, axis=3)
+
+    logits = jnp.stack(
+        [
+            jnp.einsum(
+                "bhds,bhds->bhs",
+                q,
+                jax.lax.dynamic_slice_in_dim(kp, o, s, axis=3),
+                preferred_element_type=jnp.float32,
+            )
+            for o in range(w)
+        ],
+        axis=2,
+    ) * (d**-0.5)  # [B, h, W, S]
+
+    weights = jax.nn.softmax(logits, axis=2)
+    if weights_transform is not None:
+        weights = weights_transform(weights)
+    out = sum(
+        # [B,h,1,S] weight slice broadcasts over the d sublanes of V.
+        jax.lax.slice_in_dim(weights, o, o + 1, axis=2)
+        * jax.lax.dynamic_slice_in_dim(vp, o, s, axis=3).astype(jnp.float32)
+        for o in range(w)
+    )
+    return out.astype(q.dtype)
+
+
+def windowed_latent_attention_ds(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    window_size: int,
+    weights_transform=None,
+) -> jnp.ndarray:
+    """Window-local attention on S-minor ``[B, h, d, S]`` tensors — the
+    long-S production layout of the S-minor residual stream (see
+    :func:`_shift_banded_attention_ds`). Numerics match
+    :func:`windowed_latent_attention` exactly, including the
+    duplicated-edge-key softmax multiplicity.
+    """
+    b, h, d, s = q.shape
+    w = window_size
+    if s <= 2 * w:
+        if weights_transform is not None:
+            raise ValueError(
+                f"weights_transform requires S > 2*W (got S={s}, W={w})"
+            )
+        out = _gather_windowed_attention(
+            q.transpose(0, 1, 3, 2), k.transpose(0, 1, 3, 2),
+            v.transpose(0, 1, 3, 2), w,
+        )
+        return out.transpose(0, 1, 3, 2)
+    return _shift_banded_attention_ds(q, k, v, w, weights_transform)
+
+
 def windowed_latent_attention_nsh(
     q: jnp.ndarray,
     k: jnp.ndarray,

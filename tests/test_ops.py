@@ -467,6 +467,62 @@ class TestWindowedAttention:
                 np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-4
             )
 
+    @pytest.mark.parametrize("s,w", [(40, 7), (33, 5), (100, 3), (64, 4),
+                                     (197, 7), (9, 7)])
+    def test_ds_layout_matches_gather(self, rng, s, w):
+        """The S-minor [B,h,d,S] band path (tools/s3137_sched_repro.py
+        ``block_sminor`` A/B — measured layout-neutral end-to-end, kept as
+        the documented A/B twin of the production band) — fwd and grads
+        ≡ the gather oracle after layout conversion."""
+        from focused_attention_vit_tpu.ops.window import (
+            windowed_latent_attention_ds,
+            _gather_windowed_attention,
+        )
+
+        b, h, d = 2, 3, 16
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        oracle = _gather_windowed_attention(q, k, v, w)
+
+        to_ds = lambda t: t.transpose(0, 1, 3, 2)
+        got = to_ds(windowed_latent_attention_ds(
+            to_ds(q), to_ds(k), to_ds(v), w
+        ))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(oracle), atol=1e-5, rtol=1e-5
+        )
+
+        cot = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        g1 = jax.grad(lambda q, k, v: jnp.sum(to_ds(
+            windowed_latent_attention_ds(to_ds(q), to_ds(k), to_ds(v), w)
+        ) * cot), argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(lambda q, k, v: jnp.sum(
+            _gather_windowed_attention(q, k, v, w) * cot
+        ), argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-4
+            )
+
+    def test_ds_layout_dropout_hook_shape(self, rng):
+        """The DS band's weights_transform hook sees the same [B,h,W,S]
+        shape as the production band's (dropout-mask compatibility)."""
+        from focused_attention_vit_tpu.ops.window import (
+            windowed_latent_attention_ds,
+        )
+
+        b, h, d, s, w = 1, 2, 8, 40, 7
+        q = jnp.asarray(rng.normal(size=(b, h, d, s)).astype(np.float32))
+        seen = []
+
+        def probe(wts):
+            seen.append(wts.shape)
+            return wts
+
+        windowed_latent_attention_ds(q, q, q, w, weights_transform=probe)
+        assert seen == [(b, h, w, s)]
+
     @pytest.mark.parametrize("s,w", [(40, 7), (100, 3), (64, 4)])
     def test_shift_path_matches_gather(self, rng, s, w):
         """The long-S production path (shift-banded + exact edge-row

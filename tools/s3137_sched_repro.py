@@ -15,6 +15,13 @@ Three chain bodies, selected per run:
   - "block": full transformer block — qkv proj, shift-band windowed
              attention (the production W=7 band from ops/window),
              out proj, MLP — the real step minus data/optimizer.
+  - "block_sminor": the same block math with the residual stream held
+             in the S-minor [B, D, S] layout end-to-end — every matmul
+             contracts a non-minor axis (so the qkv/merge head
+             relayouts the bisect charges ~215 ms for cannot exist),
+             the band runs on [B, h, d, S] operands, LN reduces over
+             sublanes. A/B against "block" isolates the value of an
+             S-minor residual stream before committing it to the model.
 
 Hardware results (2026-08-18, v5e, b32 bf16):
   - "ln" does NOT reproduce the wall: grad runs at ~700 GB/s effective
@@ -57,20 +64,22 @@ params = {
     "scale": jnp.asarray(1 + 0.01 * rng.normal(size=(L, D)), jnp.float32),
     "bias": jnp.asarray(0.01 * rng.normal(size=(L, D)), jnp.float32),
 }
-if BODY in ("mlp", "block"):
+if BODY in ("mlp", "block", "block_sminor"):
     params["w1"] = jnp.asarray(
         rng.normal(size=(L, D, H)) / np.sqrt(D), DTYPE
     )
     params["w2"] = jnp.asarray(
         rng.normal(size=(L, H, D)) / np.sqrt(H), DTYPE
     )
-if BODY == "block":
+if BODY in ("block", "block_sminor"):
     params["wqkv"] = jnp.asarray(
         rng.normal(size=(L, D, 3 * D)) / np.sqrt(D), DTYPE
     )
     params["wo"] = jnp.asarray(
         rng.normal(size=(L, D, D)) / np.sqrt(D), DTYPE
     )
+if BODY == "block_sminor":
+    x = x.transpose(0, 2, 1)  # residual stream lives as [B, D, S]
 
 
 def ln(x, scale, bias):
@@ -81,7 +90,74 @@ def ln(x, scale, bias):
     return (y * scale + bias).astype(x.dtype)
 
 
+def ln_sminor(x, scale, bias):
+    # LN over the D (sublane) axis of the S-minor [B, D, S] stream.
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+    return (y * scale[None, :, None] + bias[None, :, None]).astype(x.dtype)
+
+
+def _halo_pad_minor(t, w):
+    # Reference edge halo (ops/window._halo_pad) along the minor S axis.
+    hw = w // 2
+    s = t.shape[-1]
+    last = jax.lax.slice_in_dim(t, s - 1, s, axis=-1)
+    first = jax.lax.slice_in_dim(t, 0, 1, axis=-1)
+    return jnp.concatenate([last] * hw + [t] + [first] * (w - 1 - hw), -1)
+
+
+def shift_band_sminor(q, k, v, w):
+    # The production shift band on [B, h, d, S] operands: logits
+    # contract d (sublanes), softmax over the stacked-offset axis,
+    # weighted-V broadcast over d — S stays minor throughout.
+    b, h, d, s = q.shape
+    kp = _halo_pad_minor(k, w)
+    vp = _halo_pad_minor(v, w)
+    logits = jnp.stack(
+        [
+            jnp.einsum(
+                "bhds,bhds->bhs",
+                q,
+                jax.lax.dynamic_slice_in_dim(kp, o, s, axis=-1),
+                preferred_element_type=jnp.float32,
+            )
+            for o in range(w)
+        ],
+        axis=2,
+    ) * (d**-0.5)  # [B, h, W, S]
+    weights = jax.nn.softmax(logits, axis=2)
+    out = sum(
+        jax.lax.slice_in_dim(weights, o, o + 1, axis=2)  # [B,h,1,S]
+        * jax.lax.dynamic_slice_in_dim(vp, o, s, axis=-1).astype(jnp.float32)
+        for o in range(w)
+    )
+    return out.astype(q.dtype)
+
+
+def layer_sminor(pi, x):
+    b = x.shape[0]
+    y = ln_sminor(x, pi["scale"], pi["bias"])
+    qkv = jnp.einsum("bds,de->bes", y, pi["wqkv"],
+                     preferred_element_type=jnp.float32).astype(DTYPE)
+    qkv = qkv.reshape(b, 3, NH, HD, S)
+    o = shift_band_sminor(qkv[:, 0], qkv[:, 1], qkv[:, 2], W)
+    x = x + jnp.einsum("bds,de->bes", o.reshape(b, D, S), pi["wo"],
+                       preferred_element_type=jnp.float32).astype(DTYPE)
+    y = ln_sminor(x, pi["scale"], pi["bias"])
+    y = jax.nn.gelu(
+        jnp.einsum("bds,dh->bhs", y, pi["w1"],
+                   preferred_element_type=jnp.float32).astype(DTYPE)
+    )
+    y = jnp.einsum("bhs,hd->bds", y, pi["w2"],
+                   preferred_element_type=jnp.float32).astype(DTYPE)
+    return x + y
+
+
 def layer(pi, x):
+    if BODY == "block_sminor":
+        return layer_sminor(pi, x)
     b = x.shape[0]
     y = ln(x, pi["scale"], pi["bias"])
     if BODY == "block":
@@ -111,7 +187,7 @@ def chain_loss(params, x):
     # "block" needs per-layer remat exactly like the real model (the
     # no-remat monolithic chain OOMs 16G HBM at b32 — itself evidence
     # that the production remat requirement is memory, not scheduling).
-    f = jax.checkpoint(layer) if BODY == "block" else layer
+    f = jax.checkpoint(layer) if BODY.startswith("block") else layer
     for i in range(L):
         x = f(jax.tree.map(lambda p: p[i], params), x)
     return jnp.mean(x.astype(jnp.float32) ** 2)
@@ -124,7 +200,9 @@ def grad_step(params, x, micro: int):
             return jax.tree.map(jnp.add, carry, g), None
 
         zero = jax.tree.map(jnp.zeros_like, params)
-        g, _ = jax.lax.scan(body, zero, x.reshape(B // micro, micro, S, D))
+        g, _ = jax.lax.scan(
+            body, zero, x.reshape(B // micro, micro, *x.shape[1:])
+        )
         return g
     return jax.grad(chain_loss)(params, x)
 
@@ -156,9 +234,9 @@ def timeit(micro):
 
 t_mono = timeit(0)
 t_micro = timeit(8)
-if BODY in ("mlp", "block"):
+if BODY in ("mlp", "block", "block_sminor"):
     flops = 3 * L * 2 * 2 * B * S * D * H  # fwd+bwd(2x) MLP matmul FLOPs
-    if BODY == "block":
+    if BODY.startswith("block"):
         # qkv + out-proj matmuls (band attention FLOPs excluded: they
         # are O(S·W·d), ~1% — the number below is matmul-normalized so
         # runs are comparable to the "mlp" body, not an MFU claim)
