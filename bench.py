@@ -233,8 +233,15 @@ def main():
     s3137 = {}
     if os.environ.get("BENCH_S3137", "1") == "1":
         b4 = dict(common, patch_size=4, remat=True)
+        # scan_layers + microbatch 8 measured best for dense too, though the
+        # lever is small (14.55 vs 13.67 mono — the path is flash-bwd
+        # compute-bound, so shrinking the live set barely moves it;
+        # BASELINE.md "dense B/4 microbatch A/B").
         s3137["s3137_dense_images_per_sec_fwd_bwd"] = round(
-            bench_train(VisionTransformer(**b4), 32, 224, microbatch=0), 2
+            bench_train(
+                VisionTransformer(**b4, scan_layers=True), 32, 224,
+                microbatch=8,
+            ), 2
         )
         # scan_layers + microbatch 8: the measured-best config at this
         # geometry — 36.6 vs 33.8 (mb16) / 30.3 (monolithic) img/s

@@ -47,6 +47,27 @@ AUTO_CONNECTIVITY_MAX_PIXELS = 64 * 64
 _warned_auto_off = False
 
 
+def _callbacks_supported(backend: str | None = None,
+                         platforms: str | None = None) -> bool:
+    """Whether the active backend can run host send/recv callbacks.
+
+    The axon PJRT tunnel rejects them (UNIMPLEMENTED) but registers its
+    devices as plain ``'tpu'``, so ``jax.default_backend()`` alone cannot
+    identify it — detect the plugin via the platform registration string
+    (``jax.config.jax_platforms``, set to ``'axon,cpu'`` by that
+    environment's sitecustomize, falling back to ``$JAX_PLATFORMS``).
+    Args exist for unit testing; production calls pass nothing.
+    """
+    backend = backend or jax.default_backend()
+    if backend == "cpu":
+        return True
+    if platforms is None:
+        platforms = jax.config.jax_platforms or os.environ.get(
+            "JAX_PLATFORMS", ""
+        )
+    return "axon" not in (platforms or "")
+
+
 def _warn_auto_connectivity_off(h: int, w: int) -> None:
     """One-time visibility for the auto connectivity-off decision, so the
     deviation from skimage's default semantics shows up in experiment logs,
@@ -472,8 +493,7 @@ def slic_segment(
             # forces the host path (real TPU runtimes support callbacks).
             from focused_attention_vit_tpu.ops import native_connectivity
 
-            backend = jax.default_backend()
-            callback_ok = backend != "axon" or os.environ.get(
+            callback_ok = _callbacks_supported() or os.environ.get(
                 "FAVIT_HOST_CONNECTIVITY", "0"
             ) == "1"
             if native_connectivity.native_available() and callback_ok:

@@ -1081,6 +1081,29 @@ class TestSLIC:
         assert np.min(scores) >= 0.60, scores
 
 
+class TestCallbackSupportDetection:
+    """The auto-connectivity host path rides jax.pure_callback, which the
+    axon PJRT tunnel rejects (UNIMPLEMENTED: send/recv) while registering
+    its devices as plain 'tpu' — so detection must use the platform
+    registration string, not jax.default_backend() (which returned 'tpu'
+    and made the old `backend != "axon"` gate crash bench.py's SPPP run
+    on the real chip)."""
+
+    def test_axon_tpu_detected_unsupported(self):
+        from focused_attention_vit_tpu.ops.slic import _callbacks_supported
+
+        assert not _callbacks_supported(backend="tpu", platforms="axon,cpu")
+        assert not _callbacks_supported(backend="tpu", platforms="axon")
+
+    def test_real_tpu_and_cpu_supported(self):
+        from focused_attention_vit_tpu.ops.slic import _callbacks_supported
+
+        assert _callbacks_supported(backend="tpu", platforms="")
+        # Forced-CPU under an axon registration (the test suite itself)
+        # still supports callbacks — the CPU runtime executes them.
+        assert _callbacks_supported(backend="cpu", platforms="axon,cpu")
+
+
 class TestNativeConnectivity:
     """Host C++ connectivity enforcement (native/connectivity.cpp via
     ops/native_connectivity.py) — the TPU-native analogue of skimage's
