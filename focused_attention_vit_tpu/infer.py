@@ -21,6 +21,31 @@ from focused_attention_vit_tpu.data.pipeline import (
 )
 
 
+def padded_predict_proba(
+    fwd, params, batch_size: int, num_classes: int, images_u8: np.ndarray
+) -> np.ndarray:
+    """Run a fixed-batch serving function over an arbitrary request size.
+
+    Requests are cut into ``batch_size`` chunks, the last chunk padded by
+    repeating its first image (padding rows discarded on the way out) —
+    the one compiled program serves every request size. Shared by the live
+    :class:`Predictor` and the deserialized artifact predictor
+    (export.ExportedPredictor).
+    """
+    n = len(images_u8)
+    if n == 0:
+        return np.zeros((0, num_classes), dtype=np.float32)
+    out = []
+    for start in range(0, n, batch_size):
+        chunk = images_u8[start : start + batch_size]
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[:1], pad, axis=0)])
+        probs = np.asarray(fwd(params, jnp.asarray(chunk)))
+        out.append(probs[: len(probs) - pad] if pad else probs)
+    return np.concatenate(out)[:n]
+
+
 class Predictor:
     """Fixed-shape jitted classifier over uint8 NHWC images.
 
@@ -133,21 +158,10 @@ class Predictor:
 
     def predict_proba(self, images_u8: np.ndarray) -> np.ndarray:
         """[N, h, w, C] uint8 → [N, num_classes] probabilities."""
-        n = len(images_u8)
-        if n == 0:
-            num_classes = int(self.model.num_classes)
-            return np.zeros((0, num_classes), dtype=np.float32)
-        out = []
-        for start in range(0, n, self.batch_size):
-            chunk = images_u8[start : start + self.batch_size]
-            pad = self.batch_size - len(chunk)
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[:1], pad, axis=0)]
-                )
-            probs = np.asarray(self._fwd(self.params, jnp.asarray(chunk)))
-            out.append(probs[: len(probs) - pad] if pad else probs)
-        return np.concatenate(out)[:n]
+        return padded_predict_proba(
+            self._fwd, self.params, self.batch_size,
+            int(self.model.num_classes), images_u8,
+        )
 
     def predict(self, images_u8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (predicted class ids, their probabilities)."""

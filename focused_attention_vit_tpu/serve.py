@@ -331,7 +331,16 @@ def main(argv=None) -> None:
     import argparse
 
     p = argparse.ArgumentParser(description="favit serving front-end")
-    p.add_argument("--checkpoint_dir", type=str, required=True)
+    p.add_argument("--checkpoint_dir", type=str, default=None,
+                   help="training checkpoint dir (required unless "
+                        "--from_export)")
+    p.add_argument("--from_export", type=str, default=None, metavar="DIR",
+                   help="serve a jax.export artifact directory "
+                        "(export.save_serving_artifact) — no model class "
+                        "or checkpoint needed")
+    p.add_argument("--export_artifact", type=str, default=None, metavar="DIR",
+                   help="instead of serving: write the compiled serving "
+                        "program + params to DIR and exit")
     p.add_argument("--model", choices=["vit", "vit_mhla"], default="vit_mhla")
     p.add_argument("--img_size", type=int, default=224)
     p.add_argument("--patch_size", type=int, default=16)
@@ -358,30 +367,51 @@ def main(argv=None) -> None:
     from focused_attention_vit_tpu.utils import compile_cache
 
     compile_cache.enable()
-    # Same mesh convention as the training CLI (experiments/base.py):
-    # --num_devices <=0 or None means "all devices" when a mesh is
-    # requested; --tp alone also requests a mesh.
-    mesh = None
-    if args.num_devices or args.tp > 1:
-        from focused_attention_vit_tpu.parallel import make_mesh
+    if args.from_export:
+        if args.export_artifact:
+            p.error("--from_export and --export_artifact are exclusive")
+        from focused_attention_vit_tpu.export import load_serving_artifact
 
-        n = args.num_devices
-        if n is None or n <= 0:
-            n = len(jax.devices())
-        if n > 1 or args.tp > 1:
-            mesh = make_mesh(n, tp=args.tp)
-    model = _build_model(args)
-    predictor = Predictor.from_checkpoint(
-        model, args.checkpoint_dir,
-        sample_input=jnp.zeros((1, args.img_size, args.img_size, 3)),
-        img_size=args.img_size, batch_size=args.batch_size,
-        compute_dtype=(jnp.bfloat16 if args.compute_dtype == "bfloat16"
-                       else jnp.float32),
-        mesh=mesh,
-    )
-    print(f"compiling (batch {args.batch_size}, {jax.devices()[0].platform})"
-          " ...", flush=True)
-    predictor.warmup()
+        predictor = load_serving_artifact(args.from_export)
+        print(f"loaded artifact {args.from_export} "
+              f"(batch {predictor.batch_size}, input {predictor.input_hw}, "
+              f"{predictor.num_classes} classes); compiling ...", flush=True)
+        predictor.warmup()
+    else:
+        if not args.checkpoint_dir:
+            p.error("--checkpoint_dir is required unless --from_export")
+        # Same mesh convention as the training CLI (experiments/base.py):
+        # --num_devices <=0 or None means "all devices" when a mesh is
+        # requested; --tp alone also requests a mesh.
+        mesh = None
+        if args.num_devices or args.tp > 1:
+            from focused_attention_vit_tpu.parallel import make_mesh
+
+            n = args.num_devices
+            if n is None or n <= 0:
+                n = len(jax.devices())
+            if n > 1 or args.tp > 1:
+                mesh = make_mesh(n, tp=args.tp)
+        model = _build_model(args)
+        predictor = Predictor.from_checkpoint(
+            model, args.checkpoint_dir,
+            sample_input=jnp.zeros((1, args.img_size, args.img_size, 3)),
+            img_size=args.img_size, batch_size=args.batch_size,
+            compute_dtype=(jnp.bfloat16 if args.compute_dtype == "bfloat16"
+                           else jnp.float32),
+            mesh=mesh,
+        )
+        if args.export_artifact:
+            from focused_attention_vit_tpu.export import (
+                save_serving_artifact,
+            )
+
+            out = save_serving_artifact(predictor, args.export_artifact)
+            print(f"serving artifact written to {out}", flush=True)
+            return
+        print(f"compiling (batch {args.batch_size}, "
+              f"{jax.devices()[0].platform}) ...", flush=True)
+        predictor.warmup()
     with BatchingServer(predictor, max_delay_ms=args.max_delay_ms) as srv:
         with HTTPFrontend(srv, host=args.host, port=args.port) as fe:
             print(f"serving on http://{fe.host}:{fe.port} "
