@@ -815,8 +815,31 @@ class CrossAttentionTransformerBlock(nn.Module):
         return query
 
 
+def resolve_remat_policy(policy):
+    """Map a model's ``remat_policy`` string to a ``jax.checkpoint``
+    policy callable (``None`` = save nothing, i.e. classic full remat).
+
+    ``'band_weights'`` saves the MHLA band's post-softmax weights (tagged
+    ``mhla_band_weights`` in ops/window._shift_banded_attention) across
+    fwd→bwd so the backward pass skips recomputing the W logit einsums +
+    softmax — the band's non-matmul in-context cost the round-3 S=3137
+    repro measured as the scheduling wall. Costs f32 [B,h,W,S] per layer
+    (~34 MB at ViT-B/4 b32); everything else still remats.
+    """
+    if policy in (None, "full"):
+        return None
+    if policy == "band_weights":
+        return jax.checkpoint_policies.save_only_these_names(
+            "mhla_band_weights"
+        )
+    raise ValueError(
+        f"unknown remat_policy {policy!r} (expected None, 'full', or "
+        "'band_weights')"
+    )
+
+
 def scanned_blocks(block_cls, depth: int, remat: bool, name: str,
-                   **block_kwargs):
+                   remat_policy=None, **block_kwargs):
     """``lax.scan``-over-depth block stack (``scan_layers`` option).
 
     Rolls ``depth`` identical transformer blocks into ONE scanned XLA
@@ -831,7 +854,9 @@ def scanned_blocks(block_cls, depth: int, remat: bool, name: str,
     :func:`stack_block_params` to convert a loop-form checkpoint.
     """
     inner = (
-        nn.remat(block_cls, static_argnums=(2,)) if remat else block_cls
+        nn.remat(block_cls, static_argnums=(2,),
+                 policy=resolve_remat_policy(remat_policy))
+        if remat else block_cls
     )
 
     class _Body(nn.Module):

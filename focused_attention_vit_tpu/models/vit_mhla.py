@@ -11,6 +11,7 @@ from focused_attention_vit_tpu.models.layers import (
     PatchEmbedding,
     SwitchableTransformerBlock,
     dense_init,
+    resolve_remat_policy,
     scanned_blocks,
 )
 
@@ -37,6 +38,11 @@ class VisionTransformerMHLA(nn.Module):
     use_mhla: bool = False
     use_flash: Optional[bool] = None
     remat: bool = False  # see models/vit.py remat note
+    # Optional jax.checkpoint policy under remat: None/'full' saves
+    # nothing (classic remat); 'band_weights' additionally saves the MHLA
+    # band softmax weights so bwd skips the band recompute
+    # (models/layers.resolve_remat_policy).
+    remat_policy: Optional[str] = None
     scan_layers: bool = False  # see models/vit.py scan_layers note
     # Sequence parallelism: shard the token axis of activations over
     # ``sp_axis`` of ``sp_mesh`` (GSPMD for the token-local ops; explicit
@@ -105,12 +111,14 @@ class VisionTransformerMHLA(nn.Module):
         if self.scan_layers:
             self.blocks_scan = scanned_blocks(
                 SwitchableTransformerBlock, self.depth, self.remat,
-                name="blocks", **block_kwargs,
+                name="blocks", remat_policy=self.remat_policy,
+                **block_kwargs,
             )
             self.blocks = None
         else:
             block_cls = (
-                nn.remat(SwitchableTransformerBlock, static_argnums=(2,))
+                nn.remat(SwitchableTransformerBlock, static_argnums=(2,),
+                         policy=resolve_remat_policy(self.remat_policy))
                 if self.remat
                 else SwitchableTransformerBlock
             )

@@ -41,6 +41,7 @@ import os
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 
 @functools.lru_cache(maxsize=64)
@@ -339,6 +340,13 @@ def _shift_banded_attention(
     ) * (d**-0.5)  # [B, h, W, S]
 
     weights = jax.nn.softmax(logits, axis=2)
+    # Named for remat policies: under remat_policy='band_weights' the
+    # model's nn.remat saves this tensor across fwd→bwd (f32 [B,h,W,S],
+    # ~34 MB/layer at the S=3137 b32 geometry) so the backward pass skips
+    # recomputing the W logit einsums + softmax — the band's non-matmul
+    # in-context cost that the round-3 repro measured as the scheduling
+    # wall. Identity when no policy names it.
+    weights = checkpoint_name(weights, "mhla_band_weights")
     if weights_transform is not None:
         weights = weights_transform(weights)
     out = sum(

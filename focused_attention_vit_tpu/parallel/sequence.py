@@ -39,6 +39,7 @@ from functools import partial
 from typing import Optional
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -162,6 +163,9 @@ def _sp_band_local(
         axis=2,
     ) * (d**-0.5)
     weights = jax.nn.softmax(logits, axis=2)
+    # Same remat-policy tag as the single-device band (ops/window) so
+    # remat_policy='band_weights' also applies under sequence parallelism.
+    weights = jax.ad_checkpoint.checkpoint_name(weights, "mhla_band_weights")
     if dropout_rate > 0.0 and dropout_key is not None:
         # Train-mode attention-weight dropout on the band — one Bernoulli
         # per window slot (reference: models/mhla.py:146-147), inverted

@@ -290,3 +290,42 @@ def test_mhla_roll_path_matches_default(monkeypatch):
     assert all(
         bool(jnp.isfinite(leaf).all()) for leaf in jax.tree.leaves(g_train)
     )
+
+
+@pytest.mark.parametrize("scan", [False, True], ids=["loop", "scan"])
+def test_remat_policy_band_weights_grads_identical(scan):
+    """remat_policy='band_weights' (save the tagged band softmax weights
+    across fwd→bwd instead of recomputing the band under full remat —
+    the S=3137 wall lever) must not change gradients: same params, same
+    dropout key → bit-identical grads vs remat_policy=None. Also pins
+    that an unknown policy name errors loudly."""
+    kw = dict(
+        **TINY, window_size=5, use_mhla=True, remat=True, dropout=0.1,
+        scan_layers=scan,
+    )
+    x = _images(4)
+    y = jnp.asarray([0, 1, 2, 3])
+
+    def grads(model, params):
+        def loss(p):
+            logits = model.apply(
+                {"params": p}, x, False,
+                rngs={"dropout": jax.random.PRNGKey(7)},
+            )
+            return -jnp.mean(
+                jax.nn.log_softmax(logits)[jnp.arange(4), y]
+            )
+
+        return jax.grad(loss)(params)
+
+    m0 = fmodels.VisionTransformerMHLA(**kw)
+    m1 = fmodels.VisionTransformerMHLA(**kw, remat_policy="band_weights")
+    params = m0.init(jax.random.PRNGKey(0), x)["params"]
+    g0, g1 = grads(m0, params), grads(m1, params)
+    for a, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    with pytest.raises(ValueError, match="remat_policy"):
+        fmodels.VisionTransformerMHLA(**kw, remat_policy="bogus").init(
+            jax.random.PRNGKey(0), x
+        )
