@@ -100,6 +100,13 @@ def parse_args(argv=None):
     parser.add_argument("--remat", action="store_true",
                         help="Gradient checkpointing per block (for the "
                              "patch-4 / S=3137 geometry at large batch)")
+    parser.add_argument("--remat_policy", type=str, default=None,
+                        choices=["full", "band_weights"],
+                        help="What per-block checkpointing saves under "
+                             "--remat: 'full' saves nothing (classic "
+                             "remat); 'band_weights' keeps the MHLA band "
+                             "softmax weights so backward skips the band "
+                             "recompute (MHLA models only)")
     parser.add_argument("--scan_layers", action="store_true",
                         help="lax.scan over depth (stacked block params); "
                              "shrinks the XLA program 12x for very long "
@@ -169,6 +176,7 @@ def _common_kwargs(args):
         detailed_metrics=not args.no_detailed_metrics,
         compute_dtype=args.compute_dtype,
         remat=args.remat,
+        remat_policy=args.remat_policy,
         scan_layers=args.scan_layers,
         num_devices=args.num_devices,
         tp=args.tp,

@@ -79,6 +79,12 @@ class ExperimentBase:
     detailed_metrics: bool = True  # AUC + confusion matrix at evaluate()
     compute_dtype: str = "float32"  # 'bfloat16' for MXU-native training
     remat: bool = False  # gradient checkpointing for long-sequence configs
+    # Selective-remat policy under --remat (MHLA models): 'band_weights'
+    # saves the band softmax weights across fwd→bwd instead of
+    # recomputing them (models/layers.resolve_remat_policy; measured
+    # neutral at the S=3137 bench config, BASELINE.md — a memory/geometry
+    # tuning knob, not a default).
+    remat_policy: Optional[str] = None
     # LR schedule over the whole run (reference protocol = constant LR,
     # experiments/traditional.py:152-157; these are opt-in extensions).
     lr_schedule: str = "constant"  # 'constant' | 'cosine'
@@ -215,7 +221,12 @@ class ExperimentBase:
             self.num_classes = int(data_classes)
         self.mesh = self._build_mesh()
         self.model = self.build_model()
-        for flag in ("scan_layers", "remat"):
+        if self.remat_policy and not self.remat:
+            raise ValueError(
+                "--remat_policy only applies under --remat (it selects "
+                "what the per-block checkpointing saves)"
+            )
+        for flag in ("scan_layers", "remat", "remat_policy"):
             if getattr(self, flag, False) and not hasattr(self.model, flag):
                 raise ValueError(
                     f"--{flag} is not supported by "

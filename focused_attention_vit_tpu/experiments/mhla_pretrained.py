@@ -54,6 +54,7 @@ class PretrainedMHLAViTExperiment(PretrainedMixin, ExperimentBase):
             window_size=self.window_size,
             use_mhla=True,
             remat=self.remat,
+            remat_policy=self.remat_policy,
             scan_layers=self.scan_layers,
             dtype=self.jnp_dtype,
         )

@@ -295,6 +295,28 @@ def test_slic_connectivity_flag_mapping(dirs):
         e._slic_connectivity()
 
 
+def test_remat_policy_flag_mapping(dirs):
+    """--remat_policy threads to the MHLA model; requires --remat; errors
+    clearly on models without the knob (dense ViT has no band)."""
+    data_dir, results_dir = dirs["data_dir"], dirs["results_dir"]
+    common = dict(data_dir=data_dir, results_dir=results_dir)
+
+    e = exp.PretrainedMHLAViTExperiment(
+        remat=True, remat_policy="band_weights", **common
+    )
+    assert e.build_model().remat_policy == "band_weights"
+
+    with pytest.raises(ValueError, match="--remat"):
+        exp.PretrainedMHLAViTExperiment(
+            remat_policy="band_weights", **common
+        ).setup()
+
+    with pytest.raises(ValueError, match="remat_policy"):
+        exp.TraditionalViTExperiment(
+            remat=True, remat_policy="band_weights", **common
+        ).setup()
+
+
 def test_mhla_pretrained_scan_layers_pp(dirs):
     """--scan_layers on a pretrained experiment: loop-form merge is stacked
     to the scan form (pretrained_common.build_params), enabling --pp; a
