@@ -227,6 +227,10 @@ class ExperimentBase:
                 "what the per-block checkpointing saves)"
             )
         for flag in ("scan_layers", "remat", "remat_policy"):
+            # 'full' is the explicit spelling of what --remat alone does,
+            # so it is valid on any remat-capable model.
+            if flag == "remat_policy" and self.remat_policy in (None, "full"):
+                continue
             if getattr(self, flag, False) and not hasattr(self.model, flag):
                 raise ValueError(
                     f"--{flag} is not supported by "

@@ -85,9 +85,17 @@ def save_serving_artifact(
         jax.ShapeDtypeStruct((predictor.batch_size, h, w, 3), jnp.uint8),
     )
 
-    os.makedirs(out_dir, exist_ok=True)
-    # Temp-then-rename so a crash mid-write never leaves a half artifact
-    # (same discipline as the checkpoint sidecar, train/checkpoint.py).
+    # The three files are one logical artifact: write them into a fresh
+    # temp directory and swap directories at the end, so a crash mid-write
+    # can never leave a MIXED artifact (new program + old params would
+    # load cleanly and serve wrong predictions). The windows that remain
+    # fail loudly (missing directory), never wrongly.
+    import shutil
+
+    tmp_dir = out_dir.rstrip("/") + ".tmp-new"
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir)
     for name, payload in (
         (_FN_FILE, exported.serialize()),
         (_PARAMS_FILE, serialization.msgpack_serialize(
@@ -102,10 +110,17 @@ def save_serving_artifact(
             "platforms": list(exported.platforms),
         }, indent=2).encode()),
     ):
-        tmp = os.path.join(out_dir, name + ".tmp")
-        with open(tmp, "wb") as f:
+        with open(os.path.join(tmp_dir, name), "wb") as f:
             f.write(payload)
-        os.replace(tmp, os.path.join(out_dir, name))
+    if os.path.exists(out_dir):
+        old_dir = out_dir.rstrip("/") + ".tmp-old"
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
+        os.rename(out_dir, old_dir)
+        os.rename(tmp_dir, out_dir)
+        shutil.rmtree(old_dir)
+    else:
+        os.rename(tmp_dir, out_dir)
     return out_dir
 
 

@@ -819,12 +819,17 @@ def resolve_remat_policy(policy):
     """Map a model's ``remat_policy`` string to a ``jax.checkpoint``
     policy callable (``None`` = save nothing, i.e. classic full remat).
 
-    ``'band_weights'`` saves the MHLA band's post-softmax weights (tagged
-    ``mhla_band_weights`` in ops/window._shift_banded_attention) across
-    fwd→bwd so the backward pass skips recomputing the W logit einsums +
-    softmax — the band's non-matmul in-context cost the round-3 S=3137
-    repro measured as the scheduling wall. Costs f32 [B,h,W,S] per layer
-    (~34 MB at ViT-B/4 b32); everything else still remats.
+    ``'band_weights'`` saves the MHLA band's post-softmax weights — tagged
+    ``mhla_band_weights`` in every band formulation (ops/window: shift,
+    dense band-masked, gather, blocked, nsh, ds; parallel/sequence.py's
+    halo band) — across fwd→bwd so the backward pass skips recomputing
+    the band logits + softmax. Memory cost depends on the active path:
+    f32 [B,h,W,S] per layer (~34 MB at ViT-B/4 b32) on the long-S shift
+    band, the full masked [B,h,S,S] on the short-S dense band. Everything
+    else still remats. Measured neutral at the S=3137 bench config
+    (BASELINE.md) — a memory/geometry tuning knob, not a default. The
+    Pallas roll band (FAVIT_MHLA_IMPL=roll) manages its own residuals via
+    custom_vjp and ignores this policy.
     """
     if policy in (None, "full"):
         return None

@@ -113,7 +113,11 @@ def _gather_windowed_attention(
         )[:, None]
         logits = jnp.where(mask_win == 0, jnp.finfo(logits.dtype).min, logits)
 
-    weights = jax.nn.softmax(logits, axis=-1)
+    # Same remat-policy tag on every band formulation's softmax weights
+    # (see _shift_banded_attention) so remat_policy='band_weights' applies
+    # regardless of which path the dispatch picks.
+    weights = checkpoint_name(jax.nn.softmax(logits, axis=-1),
+                              "mhla_band_weights")
     if weights_transform is not None:
         weights = weights_transform(weights)
     return jnp.einsum(
@@ -171,7 +175,10 @@ def _dense_band_attention(
     logits = jnp.einsum(
         "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32
     ) * (d**-0.5) + bias
-    weights = jax.nn.softmax(logits, axis=-1)
+    # remat-policy tag (see _shift_banded_attention); here the saved
+    # tensor is the full masked [B,h,S,S] — meaningful only at short S.
+    weights = checkpoint_name(jax.nn.softmax(logits, axis=-1),
+                              "mhla_band_weights")
     if weights_transform is not None:
         weights = weights_transform(weights)
     return jnp.einsum("bhst,bhtd->bhsd", weights.astype(v.dtype), v)
@@ -259,7 +266,8 @@ def _blocked_band_attention(
     logits = jnp.einsum(
         "bhntd,bhned->bhnte", qt, kt, preferred_element_type=jnp.float32
     ) * (d**-0.5) + bias
-    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    weights = checkpoint_name(jax.nn.softmax(logits, axis=-1),
+                              "mhla_band_weights").astype(v.dtype)
     out = jnp.einsum("bhnte,bhned->bhntd", weights, vt)
     return out.reshape(b, h, sp, d)[:, :, :s]
 
@@ -391,7 +399,8 @@ def _shift_banded_attention_nsh(
         axis=-1,
     ) * (d**-0.5)  # [B, S, h, W]
 
-    weights = jax.nn.softmax(logits, axis=-1)
+    weights = checkpoint_name(jax.nn.softmax(logits, axis=-1),
+                              "mhla_band_weights")  # remat-policy tag
     out = sum(
         weights[..., o][..., None]
         * jax.lax.dynamic_slice_in_dim(vp, o, s, axis=1).astype(jnp.float32)
@@ -439,7 +448,8 @@ def _shift_banded_attention_ds(
         axis=2,
     ) * (d**-0.5)  # [B, h, W, S]
 
-    weights = jax.nn.softmax(logits, axis=2)
+    weights = checkpoint_name(jax.nn.softmax(logits, axis=2),
+                              "mhla_band_weights")  # remat-policy tag
     if weights_transform is not None:
         weights = weights_transform(weights)
     out = sum(

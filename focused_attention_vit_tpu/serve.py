@@ -370,6 +370,12 @@ def main(argv=None) -> None:
     if args.from_export:
         if args.export_artifact:
             p.error("--from_export and --export_artifact are exclusive")
+        if args.checkpoint_dir:
+            p.error(
+                "--from_export and --checkpoint_dir are exclusive: the "
+                "artifact carries its own program and params, so the "
+                "checkpoint would be silently ignored"
+            )
         from focused_attention_vit_tpu.export import load_serving_artifact
 
         predictor = load_serving_artifact(args.from_export)

@@ -299,7 +299,10 @@ def test_remat_policy_flag_mapping(dirs):
     """--remat_policy threads to the MHLA model; requires --remat; errors
     clearly on models without the knob (dense ViT has no band)."""
     data_dir, results_dir = dirs["data_dir"], dirs["results_dir"]
-    common = dict(data_dir=data_dir, results_dir=results_dir)
+    common = dict(data_dir=data_dir, results_dir=results_dir,
+                  subset_size=64,  # setup() loads data; keep it tiny
+                  img_size=32, patch_size=4, embed_dim=64, depth=2,
+                  num_heads=4)
 
     e = exp.PretrainedMHLAViTExperiment(
         remat=True, remat_policy="band_weights", **common
@@ -315,6 +318,14 @@ def test_remat_policy_flag_mapping(dirs):
         exp.TraditionalViTExperiment(
             remat=True, remat_policy="band_weights", **common
         ).setup()
+
+    # 'full' is the explicit spelling of plain --remat — valid on any
+    # remat-capable model, including dense ViT (review finding: the
+    # truthy string tripped the hasattr check and errored the control
+    # arm of a full-vs-band_weights sweep).
+    exp.TraditionalViTExperiment(
+        remat=True, remat_policy="full", **common
+    ).setup()
 
 
 def test_mhla_pretrained_scan_layers_pp(dirs):

@@ -149,3 +149,31 @@ def test_serve_cli_export_and_reload(tmp_path):
     np.testing.assert_array_equal(
         loaded.predict_proba(imgs), live.predict_proba(imgs)
     )
+
+
+def test_reexport_overwrites_atomically(tmp_path):
+    """Re-exporting into an existing artifact dir replaces it whole-dir
+    (temp-dir + directory swap): the loader can never observe a MIXED
+    artifact (new program + old params), and no temp dirs are left."""
+    model = fmodels.VisionTransformer(**TINY)
+    p1 = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))[
+        "params"
+    ]
+    p2 = model.init(jax.random.PRNGKey(9), jnp.zeros((1, 16, 16, 3)))[
+        "params"
+    ]
+    mk = lambda p: Predictor(
+        model, p, img_size=16, batch_size=8, compute_dtype=jnp.float32
+    )
+    art = str(tmp_path / "art")
+    save_serving_artifact(mk(p1), art)
+    save_serving_artifact(mk(p2), art)  # overwrite with different params
+
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, size=(8, 16, 16, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        load_serving_artifact(art).predict_proba(imgs),
+        mk(p2).predict_proba(imgs),
+    )
+    leftovers = [d for d in os.listdir(tmp_path) if ".tmp" in d]
+    assert not leftovers, leftovers

@@ -1237,3 +1237,57 @@ class TestNativeConnectivity:
             np.add.at(cont, (hd, dd), 1)
             ri, ci = linear_sum_assignment(-cont)
             assert cont[ri, ci].sum() / hd.size >= 0.85
+
+
+class TestBandWeightsRematTag:
+    """Every band formulation's softmax weights carry the
+    'mhla_band_weights' checkpoint_name tag, so
+    remat_policy='band_weights' bites regardless of which path the
+    dispatch picks (review finding: the tag originally existed only on
+    the shift band, making the policy a silent no-op at S<=512 where the
+    dense band runs)."""
+
+    @pytest.mark.parametrize("impl,shape_str", [
+        ("densefull", "f32[1,2,40,40]"),   # dense band-masked [B,h,S,S]
+        ("shift", "f32[1,2,7,40]"),        # shift band [B,h,W,S]
+        ("blocked", "f32[1,2,1,40,46]"),   # blocked tiles [B,h,n,T,T+2hw]
+    ])
+    def test_policy_saves_band_weights(self, rng, monkeypatch, impl,
+                                       shape_str):
+        import contextlib
+        import io
+
+        from focused_attention_vit_tpu.ops.window import (
+            windowed_latent_attention,
+        )
+
+        monkeypatch.setenv("FAVIT_MHLA_IMPL", impl)
+        q = jnp.asarray(
+            rng.normal(size=(1, 2, 40, 8)).astype(np.float32)
+        )
+
+        def dump(policy):
+            f = jax.checkpoint(
+                lambda q: windowed_latent_attention(q, q, q, 7).sum(),
+                policy=policy,
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                jax.ad_checkpoint.print_saved_residuals(f, q)
+            return buf.getvalue()
+
+        saved = dump(jax.checkpoint_policies.save_only_these_names(
+            "mhla_band_weights"
+        ))
+        line = [l for l in saved.splitlines()
+                if "ops/window.py" in l and shape_str in l]
+        assert line, f"band weights not saved under the policy:\n{saved}"
+
+        # Negative control: a policy naming nothing saves no window.py
+        # residual — the tag, not the policy machinery, is what's pinned.
+        control = dump(jax.checkpoint_policies.save_only_these_names(
+            "no_such_tag"
+        ))
+        assert not any("ops/window.py" in l for l in control.splitlines()), (
+            control
+        )

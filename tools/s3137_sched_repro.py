@@ -99,41 +99,15 @@ def ln_sminor(x, scale, bias):
     return (y * scale[None, :, None] + bias[None, :, None]).astype(x.dtype)
 
 
-def _halo_pad_minor(t, w):
-    # Reference edge halo (ops/window._halo_pad) along the minor S axis.
-    hw = w // 2
-    s = t.shape[-1]
-    last = jax.lax.slice_in_dim(t, s - 1, s, axis=-1)
-    first = jax.lax.slice_in_dim(t, 0, 1, axis=-1)
-    return jnp.concatenate([last] * hw + [t] + [first] * (w - 1 - hw), -1)
-
-
 def shift_band_sminor(q, k, v, w):
-    # The production shift band on [B, h, d, S] operands: logits
-    # contract d (sublanes), softmax over the stacked-offset axis,
-    # weighted-V broadcast over d — S stays minor throughout.
-    b, h, d, s = q.shape
-    kp = _halo_pad_minor(k, w)
-    vp = _halo_pad_minor(v, w)
-    logits = jnp.stack(
-        [
-            jnp.einsum(
-                "bhds,bhds->bhs",
-                q,
-                jax.lax.dynamic_slice_in_dim(kp, o, s, axis=-1),
-                preferred_element_type=jnp.float32,
-            )
-            for o in range(w)
-        ],
-        axis=2,
-    ) * (d**-0.5)  # [B, h, W, S]
-    weights = jax.nn.softmax(logits, axis=2)
-    out = sum(
-        jax.lax.slice_in_dim(weights, o, o + 1, axis=2)  # [B,h,1,S]
-        * jax.lax.dynamic_slice_in_dim(vp, o, s, axis=-1).astype(jnp.float32)
-        for o in range(w)
+    # The library's S-minor band (the A/B twin this tool's measurement
+    # motivated) — one definition, no drift between what the repro times
+    # and what ops/window ships.
+    from focused_attention_vit_tpu.ops.window import (
+        _shift_banded_attention_ds,
     )
-    return out.astype(q.dtype)
+
+    return _shift_banded_attention_ds(q, k, v, w)
 
 
 def layer_sminor(pi, x):
