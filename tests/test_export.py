@@ -177,3 +177,19 @@ def test_reexport_overwrites_atomically(tmp_path):
     )
     leftovers = [d for d in os.listdir(tmp_path) if ".tmp" in d]
     assert not leftovers, leftovers
+
+
+def test_serve_cli_flag_conflicts(tmp_path):
+    """--from_export is exclusive with --export_artifact and with
+    --checkpoint_dir (the artifact carries its own program+params; a
+    silently ignored checkpoint would serve stale predictions)."""
+    from focused_attention_vit_tpu import serve
+
+    with pytest.raises(SystemExit):
+        serve.main(["--from_export", str(tmp_path),
+                    "--export_artifact", str(tmp_path / "x")])
+    with pytest.raises(SystemExit):
+        serve.main(["--from_export", str(tmp_path),
+                    "--checkpoint_dir", str(tmp_path / "ck")])
+    with pytest.raises(SystemExit):
+        serve.main([])  # neither source given
