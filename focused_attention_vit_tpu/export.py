@@ -27,6 +27,13 @@ than a checkpoint: serving hosts don't import ``models/``.
 Numerics are identical to the live Predictor *by construction*: the
 exported computation is the very jitted function the Predictor serves
 with, not a re-derivation (pinned by tests/test_export.py).
+
+Measured on the v5e (2026-08-19): ``serve --from_export`` + HTTP
+round-trip serves artifact probabilities matching the live path; the
+first ``warmup()`` of a deserialized artifact pays a full XLA compile
+(~minutes on the remote-compile toolchain — the persistent compile cache
+keys the deserialized StableHLO differently from the original trace), so
+warm once at deploy time, before cutting traffic over.
 """
 
 from __future__ import annotations
