@@ -193,3 +193,18 @@ def test_serve_cli_flag_conflicts(tmp_path):
                     "--checkpoint_dir", str(tmp_path / "ck")])
     with pytest.raises(SystemExit):
         serve.main([])  # neither source given
+
+
+def test_exported_predictor_through_batching_server(tmp_path):
+    """The --from_export serving stack: ExportedPredictor behind
+    serve.BatchingServer must coalesce and answer like the live path."""
+    from focused_attention_vit_tpu.serve import BatchingServer
+
+    pred = _predictor()
+    art = save_serving_artifact(pred, str(tmp_path / "art"))
+    loaded = load_serving_artifact(art)
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 256, size=(11, 16, 16, 3), dtype=np.uint8)
+    with BatchingServer(loaded, max_delay_ms=1.0) as srv:
+        probs = srv.predict_proba(imgs)
+    np.testing.assert_array_equal(probs, pred.predict_proba(imgs))
