@@ -30,12 +30,24 @@ EVAL_CHUNK = int(os.environ.get("BENCH_EVAL_CHUNK", "64"))
 
 
 def vit_matmul_flops_per_image(img_size, patch_size, embed_dim, depth,
-                               num_heads, mlp_ratio=4.0, num_classes=10):
-    """Forward matmul FLOPs per image (2 FLOPs/MAC)."""
+                               num_heads, mlp_ratio=4.0, num_classes=10,
+                               mhla_window=None):
+    """Forward matmul FLOPs per image (2 FLOPs/MAC).
+
+    With ``mhla_window`` set, the dense S×S attention term is replaced by
+    the windowed-MHLA terms: the latent K/V projection (per-head
+    [d_h, d_h], applied to K and V — models/layers.MultiHeadLatentAttention)
+    plus the O(S·W) band products."""
     s = (img_size // patch_size) ** 2 + 1
     d = embed_dim
     per_block = 2 * s * d * d * (3 + 1 + 2 * mlp_ratio)  # qkv+proj+mlp
-    attn = 2 * 2 * s * s * d  # q·kᵀ and p·v
+    if mhla_window is None:
+        attn = 2 * 2 * s * s * d  # q·kᵀ and p·v
+    else:
+        dh = d // num_heads
+        latent = 2 * 2 * s * num_heads * dh * dh  # K and V latent proj
+        band = 2 * 2 * s * mhla_window * d  # banded q·kᵀ and p·v
+        attn = latent + band
     patch = 2 * s * (patch_size * patch_size * 3) * d
     head = 2 * d * num_classes
     return depth * (per_block + attn) + patch + head
@@ -213,6 +225,10 @@ def main():
         batch,
         224,
     )
+    mhla_flops_img = vit_matmul_flops_per_image(
+        224, 16, 768, 12, 12, mhla_window=7
+    )
+    mhla_mfu = mhla_ips * 3.0 * mhla_flops_img / (V5E_PEAK_BF16_TFLOPS * 1e12)
     # SPPP at its reference defaults (patch 4, R=16 → 17 tokens): the cost
     # is SLIC + patch embed + pooling, with tiny attention.
     sppp_ips = bench_train(
@@ -269,6 +285,7 @@ def main():
             "mfu": round(mfu, 4),
             "mfu_note": "3x fwd matmul FLOPs (2/MAC) vs 197 TF/s nameplate",
             "mhla_b16_images_per_sec_fwd_bwd": round(mhla_ips, 2),
+            "mhla_mfu": round(mhla_mfu, 4),
             "mhla_vs_torch_cpu": round(mhla_ips / TORCH_CPU_MHLA_B16_FWD_BWD, 1),
             "sppp_p4_r16_images_per_sec_fwd_bwd": round(sppp_ips, 2),
             "eval_batch_latency_p50_ms": round(eval_p50 * 1000, 2),
