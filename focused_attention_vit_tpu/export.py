@@ -170,6 +170,13 @@ def load_serving_artifact(artifact_dir: str) -> ExportedPredictor:
     """
     from flax import serialization
 
+    missing = [n for n in (_FN_FILE, _PARAMS_FILE, _META_FILE)
+               if not os.path.exists(os.path.join(artifact_dir, n))]
+    if missing:
+        raise FileNotFoundError(
+            f"{artifact_dir} is not a complete serving artifact "
+            f"(missing {missing}); re-export with save_serving_artifact"
+        )
     with open(os.path.join(artifact_dir, _FN_FILE), "rb") as f:
         rehydrated = jax.export.deserialize(f.read())
     with open(os.path.join(artifact_dir, _PARAMS_FILE), "rb") as f:

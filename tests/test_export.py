@@ -208,3 +208,17 @@ def test_exported_predictor_through_batching_server(tmp_path):
     with BatchingServer(loaded, max_delay_ms=1.0) as srv:
         probs = srv.predict_proba(imgs)
     np.testing.assert_array_equal(probs, pred.predict_proba(imgs))
+
+
+def test_load_missing_or_partial_artifact_fails_loudly(tmp_path):
+    """A missing or partial artifact directory (e.g. a crash before the
+    directory swap completed) must fail with a clear FileNotFoundError,
+    never load a half-artifact."""
+    with pytest.raises(FileNotFoundError):
+        load_serving_artifact(str(tmp_path / "nope"))
+
+    partial = tmp_path / "partial"
+    partial.mkdir()
+    (partial / "serving_fn.jaxexport").write_bytes(b"")
+    with pytest.raises(FileNotFoundError):
+        load_serving_artifact(str(partial))  # params/meta absent
