@@ -11,82 +11,43 @@ from __future__ import annotations
 import ctypes
 import logging
 import os
-import subprocess
-import threading
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
+from focused_attention_vit_tpu.utils.native_build import REPO_ROOT, NativeLib
+
 logger = logging.getLogger(__name__)
 
-_REPO_ROOT = os.path.dirname(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
-_SRC = os.path.join(_REPO_ROOT, "native", "batcher.cpp")
-_LIB = os.path.join(_REPO_ROOT, "native", "libfavit_batcher.so")
 
-_lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_tried = False
-
-
-def _build() -> Optional[str]:
-    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
-        return _LIB
-    # Temp path + atomic os.replace: a concurrent process must never
-    # dlopen a half-written .so.
-    tmp = f"{_LIB}.{os.getpid()}.tmp"
-    cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-        _SRC, "-o", tmp,
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.favit_prefetcher_create.restype = ctypes.c_void_p
+    lib.favit_prefetcher_create.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
     ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(tmp, _LIB)
-        logger.info("built native batcher: %s", _LIB)
-        return _LIB
-    except Exception as e:  # no compiler / failed build → numpy fallback
-        logger.info("native batcher unavailable (%s)", e)
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        return None
+    lib.favit_prefetcher_next.restype = ctypes.c_int64
+    lib.favit_prefetcher_next.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.favit_prefetcher_destroy.argtypes = [ctypes.c_void_p]
+
+
+_NATIVE = NativeLib(
+    src=os.path.join(REPO_ROOT, "native", "batcher.cpp"),
+    lib=os.path.join(REPO_ROOT, "native", "libfavit_batcher.so"),
+    name="batcher",
+    configure=_configure,
+)
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    global _lib, _tried
-    with _lock:
-        if _tried:
-            return _lib
-        _tried = True
-        if not os.path.exists(_SRC):
-            return None
-        path = _build()
-        if path is None:
-            return None
-        try:
-            lib = ctypes.CDLL(path)
-        except OSError as e:  # stale/foreign .so → numpy fallback
-            logger.info("native batcher dlopen failed (%s)", e)
-            return None
-        lib.favit_prefetcher_create.restype = ctypes.c_void_p
-        lib.favit_prefetcher_create.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
-        ]
-        lib.favit_prefetcher_next.restype = ctypes.c_int64
-        lib.favit_prefetcher_next.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ]
-        lib.favit_prefetcher_destroy.argtypes = [ctypes.c_void_p]
-        _lib = lib
-        return _lib
+    return _NATIVE.get()
 
 
 def native_available() -> bool:
-    return get_lib() is not None
+    return _NATIVE.available()
 
 
 class NativePrefetcher:

@@ -70,10 +70,17 @@ def _write_msgpack_cache(path: str, params: Dict[str, Any]) -> None:
     never touch torch."""
     from flax import serialization
 
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(serialization.msgpack_serialize(params))
-    os.replace(tmp, path)
+    # pid-unique temp name (matching save_params / the native .so
+    # builders): two processes converting the same variant concurrently
+    # must not interleave writes into one shared .tmp inode.
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            f.write(serialization.msgpack_serialize(params))
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     logger.info("Cached converted params to %s", path)
 
 

@@ -316,12 +316,23 @@ class ExperimentBase:
                 "the per-device batch and in-step chunking would reshape "
                 "across the sharded axis"
             )
-        if mb is None:
-            # Auto: single-device only; a mesh already shrinks the
-            # per-device batch.
-            if self.mesh is not None:
-                return None
-            mb = self._auto_microbatch_value()
+        if mb is not None:
+            # Explicit flag: refuse values the step could not honor
+            # instead of silently running monolithic (the same loud-error
+            # policy as the mesh case above — a benchmark or OOM-avoidance
+            # decision built on the flag must not be invalidated quietly).
+            if not (self.batch_size > mb and self.batch_size % mb == 0):
+                raise ValueError(
+                    f"--microbatch {mb} must be a proper divisor of "
+                    f"--batch_size {self.batch_size} (or 0 to disable)"
+                )
+            return mb
+        # Auto: single-device only; a mesh already shrinks the
+        # per-device batch. Auto values that don't divide the batch fall
+        # back to monolithic silently — auto is a heuristic, not a request.
+        if self.mesh is not None:
+            return None
+        mb = self._auto_microbatch_value()
         if not mb:
             return None
         return mb if (self.batch_size > mb and self.batch_size % mb == 0) else None

@@ -58,8 +58,11 @@ from jax.experimental.pallas import tpu as pltpu
 # tile sweeps (must be a multiple of 128 — in-kernel lane slices are
 # 128-aligned).
 DEFAULT_TILE = int(os.environ.get("FAVIT_ROLL_TILE", "640"))
-if DEFAULT_TILE % 128:
-    raise ValueError("FAVIT_ROLL_TILE must be a multiple of 128")
+if DEFAULT_TILE <= 0 or DEFAULT_TILE % 128:
+    raise ValueError(
+        f"FAVIT_ROLL_TILE must be a positive multiple of 128 "
+        f"(got {DEFAULT_TILE})"
+    )
 _HALO = 128  # lane-aligned halo: covers any o < 128 ≥ W-1
 
 

@@ -17,83 +17,36 @@ equivalent of that native dependency.
 from __future__ import annotations
 
 import ctypes
-import logging
 import os
-import subprocess
-import threading
-from typing import Optional
 
 import numpy as np
 
-logger = logging.getLogger(__name__)
-
-_REPO_ROOT = os.path.dirname(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
-_SRC = os.path.join(_REPO_ROOT, "native", "connectivity.cpp")
-_LIB = os.path.join(_REPO_ROOT, "native", "libfavit_connectivity.so")
-
-_lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_tried = False
+from focused_attention_vit_tpu.utils.native_build import REPO_ROOT, NativeLib
 
 
-def _build() -> Optional[str]:
-    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(
-        _SRC
-    ):
-        return _LIB
-    # Build to a per-pid temp path and os.replace (atomic) so a second
-    # process never dlopens a half-written .so.
-    tmp = f"{_LIB}.{os.getpid()}.tmp"
-    cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-        _SRC, "-o", tmp,
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.favit_enforce_connectivity.restype = ctypes.c_int
+    lib.favit_enforce_connectivity.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(tmp, _LIB)
-        logger.info("built native connectivity: %s", _LIB)
-        return _LIB
-    except Exception as e:  # no compiler / failed build → fallback
-        logger.info("native connectivity unavailable (%s)", e)
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        return None
 
 
-def get_lib() -> Optional[ctypes.CDLL]:
-    global _lib, _tried
-    with _lock:
-        if _tried:
-            return _lib
-        _tried = True
-        if not os.path.exists(_SRC):
-            return None
-        path = _build()
-        if path is None:
-            return None
-        try:
-            lib = ctypes.CDLL(path)
-            lib.favit_enforce_connectivity.restype = ctypes.c_int
-            lib.favit_enforce_connectivity.argtypes = [
-                ctypes.c_void_p, ctypes.c_void_p,
-                ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ]
-        except OSError as e:
-            # Stale/foreign/corrupt .so must degrade to the documented
-            # None fallback, not crash slic_segment(auto).
-            logger.info("native connectivity dlopen failed (%s)", e)
-            return None
-        _lib = lib
-        return _lib
+_NATIVE = NativeLib(
+    src=os.path.join(REPO_ROOT, "native", "connectivity.cpp"),
+    lib=os.path.join(REPO_ROOT, "native", "libfavit_connectivity.so"),
+    name="connectivity",
+    configure=_configure,
+)
+
+
+def get_lib():
+    return _NATIVE.get()
 
 
 def native_available() -> bool:
-    return get_lib() is not None
+    return _NATIVE.available()
 
 
 def enforce_connectivity_host(

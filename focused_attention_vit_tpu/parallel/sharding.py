@@ -83,20 +83,24 @@ def param_sharding_rules(params: Mapping[str, Any], mesh: Mesh):
     def rule(path, leaf) -> P:
         p = path_str(path)
         ndim = len(leaf.shape) if hasattr(leaf, "shape") else 0
-        if (
-            "stage" in mesh.axis_names
-            and "/block/" in f"/{p}/"
-            and ndim >= 1
-        ):
-            # Scan-form stacked block params under pipeline parallelism:
-            # the leading depth axis shards over 'stage' (each stage holds
-            # only its own layers — parallel/pipeline.py), composed with
-            # the per-layer TP rule on the remaining dims.
+        if "/block/" in f"/{p}/" and ndim >= 1:
+            # Scan-form stacked block params (scanned_blocks names them
+            # blocks/block/...): the per-layer TP rule applies to the
+            # dims BEHIND the leading depth axis. Without this shift a
+            # stacked fc1 kernel [depth, D, H] would match the per-layer
+            # P(None, 'model') at the wrong dim (sharding the embed dim,
+            # which divides tp, so _fits would accept it) and the
+            # 5-D/4-D stacked qkv/proj leaves would silently replicate —
+            # the Megatron layout lost exactly when --scan_layers --tp
+            # are combined without --pp. Under pipeline parallelism the
+            # depth axis additionally shards over 'stage'
+            # (parallel/pipeline.py holds depth/n layers per stage).
+            lead = "stage" if "stage" in mesh.axis_names else None
             inner = _rule_for(p, _Inner(leaf.shape[1:]))
-            spec = P("stage", *inner)
+            spec = P(lead, *inner)
             if _fits(spec, leaf, mesh):
                 return spec
-            spec = P("stage", *([None] * (ndim - 1)))
+            spec = P(lead, *([None] * (ndim - 1)))
             return spec if _fits(spec, leaf, mesh) else P(*([None] * ndim))
         spec = _rule_for(p, leaf)
         if not _fits(spec, leaf, mesh):

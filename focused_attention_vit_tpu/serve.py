@@ -120,11 +120,30 @@ class BatchingServer:
         return self.submit(images_u8).result()
 
     def close(self, timeout: Optional[float] = 10.0) -> None:
-        """Drain the queue and stop the worker."""
+        """Drain the queue and stop the worker.
+
+        If the worker does not finish within ``timeout`` (e.g. device
+        inference hung — the documented axon-tunnel outage mode), every
+        still-queued future is failed with a RuntimeError so blocking
+        callers in :meth:`predict_proba` unblock instead of waiting
+        forever. A future the worker already took but never delivered is
+        failed the same way."""
         with self._nonempty:
             self._closed = True
             self._nonempty.notify()
         self._worker.join(timeout)
+        if self._worker.is_alive():
+            with self._nonempty:
+                undelivered = [fut for _, fut in self._queue]
+                self._queue.clear()
+            for fut in undelivered:
+                _deliver(
+                    fut,
+                    exc=RuntimeError(
+                        "server closed while the inference worker was "
+                        "unresponsive; request abandoned"
+                    ),
+                )
 
     def __enter__(self) -> "BatchingServer":
         return self

@@ -268,8 +268,12 @@ def test_effective_microbatch_rules(dirs):
     assert e._effective_microbatch() == 16  # auto for dense ViT
     e.microbatch = 0
     assert e._effective_microbatch() is None  # 0 disables
-    e.microbatch = 50  # not a divisor of 128
-    assert e._effective_microbatch() is None
+    e.microbatch = 50  # not a divisor of 128: explicit flag errors loudly
+    with pytest.raises(ValueError, match="divisor"):
+        e._effective_microbatch()
+    e.microbatch = 128  # == batch_size: no chunking possible, also loud
+    with pytest.raises(ValueError, match="divisor"):
+        e._effective_microbatch()
     e.microbatch = 64
     assert e._effective_microbatch() == 64
 

@@ -85,6 +85,36 @@ def test_tp_rules_shard_mlp_and_attention():
     assert qkv_shard == (32, 3, 2, 8)
 
 
+def test_tp_rules_scan_form_stacked_leaves():
+    """--scan_layers --tp WITHOUT --pp: the stacked [depth, ...] block
+    leaves must get the per-layer Megatron rule shifted one dim right
+    (review finding: the per-layer rule matched the stacked fc1 kernel at
+    the EMBED dim — which also divides tp, so the fit check accepted the
+    wrong layout — and the 5-D stacked qkv/proj leaves silently
+    replicated)."""
+    mesh = make_mesh(8, tp=2)
+    model = fmodels.VisionTransformer(**TINY, scan_layers=True)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 16, 16, 3))
+    )["params"]
+    rules = param_sharding_rules(params, mesh)
+    blk = rules["blocks"]["block"]
+    assert blk["mlp"]["fc1"]["kernel"] == P(None, None, "model")
+    assert blk["mlp"]["fc1"]["bias"] == P(None, "model")
+    assert blk["mlp"]["fc2"]["kernel"] == P(None, "model", None)
+    assert blk["attn"]["qkv"]["kernel"] == P(None, None, None, "model", None)
+    assert blk["attn"]["qkv"]["bias"] == P(None, None, "model", None)
+    assert blk["attn"]["proj"]["kernel"] == P(None, "model", None, None)
+
+    # Per-shard shapes: depth axis intact, hidden/head dims halved.
+    sharded = shard_params(params, mesh)
+    d = TINY["depth"]
+    fc1 = sharded["blocks"]["block"]["mlp"]["fc1"]["kernel"]
+    assert fc1.addressable_shards[0].data.shape == (d, 32, 128 // 2)
+    qkv = sharded["blocks"]["block"]["attn"]["qkv"]["kernel"]
+    assert qkv.addressable_shards[0].data.shape == (d, 32, 3, 2, 8)
+
+
 def test_tp_rules_fall_back_when_indivisible():
     """num_heads=4 does not divide tp=8 → heads replicate, no error."""
     mesh = make_mesh(8, tp=8)

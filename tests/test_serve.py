@@ -149,6 +149,34 @@ class TestBatchingServer:
         srv.close()  # must cut the delay short and still serve it
         assert fut.result(timeout=30).shape == (3, 10)
 
+    def test_close_with_hung_worker_fails_queued_futures(self):
+        """If the worker never returns within close()'s join timeout (the
+        documented axon-tunnel hang mode), queued futures must be failed
+        with a RuntimeError so blocking callers unblock — not wait
+        forever (review finding)."""
+        import threading
+
+        release = threading.Event()
+
+        class _Hung:
+            batch_size = 4
+
+            def predict_proba(self, images_u8):
+                release.wait()  # device "hang"
+                return np.zeros((len(images_u8), 10), np.float32)
+
+        rng = np.random.default_rng(6)
+        srv = BatchingServer(_Hung(), max_delay_ms=1.0)
+        f1 = srv.submit(_images(rng, 1))  # taken by the worker, hangs
+        import time
+
+        time.sleep(0.3)
+        f2 = srv.submit(_images(rng, 1))  # still queued behind the hang
+        srv.close(timeout=0.5)
+        with pytest.raises(RuntimeError, match="unresponsive"):
+            f2.result(timeout=10)
+        release.set()  # let the daemon worker exit cleanly
+
 
 class TestHTTPFrontend:
     """POST /predict round-trips .npy arrays through the coalescer."""
