@@ -88,6 +88,10 @@ class BatchingServer:
         self._lock = threading.Lock()
         self._nonempty = threading.Condition(self._lock)
         self._queue: List[Tuple[np.ndarray, Future]] = []
+        # Futures the worker has popped but not yet delivered — tracked so
+        # close() can fail them when the worker hangs in device inference
+        # (queued futures alone don't cover the in-flight batch).
+        self._inflight: List[Future] = []
         self._closed = False
         self.stats = ServeStats()
         self._worker = threading.Thread(
@@ -135,6 +139,7 @@ class BatchingServer:
         if self._worker.is_alive():
             with self._nonempty:
                 undelivered = [fut for _, fut in self._queue]
+                undelivered += self._inflight
                 self._queue.clear()
             for fut in undelivered:
                 _deliver(
@@ -195,11 +200,15 @@ class BatchingServer:
                 return
             arrays = [a for a, _ in batch]
             total = sum(len(a) for a in arrays)
+            with self._lock:
+                self._inflight = [fut for _, fut in batch]
             try:
                 probs = self._p.predict_proba(np.concatenate(arrays))
             except Exception as e:  # propagate to every waiting caller
                 for _, fut in batch:
                     _deliver(fut, exc=e)
+                with self._lock:
+                    self._inflight = []
                 continue
             if total > self._capacity:
                 self.stats.oversize_requests += 1
@@ -211,6 +220,8 @@ class BatchingServer:
             for a, fut in batch:
                 _deliver(fut, result=probs[off : off + len(a)])
                 off += len(a)
+            with self._lock:
+                self._inflight = []
 
 
 # ---------------------------------------------------------------------------

@@ -175,6 +175,11 @@ class TestBatchingServer:
         srv.close(timeout=0.5)
         with pytest.raises(RuntimeError, match="unresponsive"):
             f2.result(timeout=10)
+        # The IN-FLIGHT future (popped by the worker, hung inside device
+        # inference) must be failed too — it's the one a device hang
+        # actually strands.
+        with pytest.raises(RuntimeError, match="unresponsive"):
+            f1.result(timeout=10)
         release.set()  # let the daemon worker exit cleanly
 
 
