@@ -445,6 +445,23 @@ class ExperimentBase:
         if ckpt_mngr is not None:
             ckpt_mngr.close()
         self.state = results.pop("state", self.state)
+        if start_epoch >= self.epochs and self.epochs > 0:
+            # Fully-trained checkpoint resumed with nothing left to train:
+            # the 0-epoch segment produced no per-epoch metrics, but the
+            # CSV's final_val columns must describe the restored model,
+            # not read 0.0 (the run is a legitimate re-evaluation).
+            print(
+                f"Checkpoint already at epoch {start_epoch} >= "
+                f"epochs={self.epochs}; skipping training and evaluating "
+                f"the restored model"
+            )
+            val = evaluate(
+                self.eval_step, self.state,
+                self.data["test_images"], self.data["test_labels"],
+                self.batch_size,
+            )
+            results["final_val_acc"] = val["acc"]
+            results["final_val_loss"] = val["loss"]
         memory_usage.append(self._memory_probe(backward=False))
         results["memory_usage"] = memory_usage
         self.metrics["training"] = results

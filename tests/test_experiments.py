@@ -395,6 +395,22 @@ def test_checkpoint_resume_continues_global_step(dirs, tmp_path):
     # the resumed segment trained only 2 epochs
     assert len(e2.metrics["training"]["train_losses"]) == 2
 
+    # Resume with nothing left to train (start_epoch >= epochs): the run
+    # must still report the restored model's val metrics in the CSV
+    # columns instead of final_val_acc=0.0 from the empty segment.
+    e3 = exp.TraditionalViTExperiment(
+        **dict(TINY, epochs=4), **dirs, checkpoint_dir=ckpt
+    )
+    e3.run()
+    assert len(e3.metrics["training"]["train_losses"]) == 0
+    tr = e3.metrics["training"]
+    ev = e3.metrics["evaluation"]
+    assert tr["final_val_acc"] > 0.0
+    # val set == test set in this pipeline, so the filled-in final_val
+    # metrics must agree with evaluate()'s.
+    assert abs(tr["final_val_acc"] - ev["test_acc"]) < 1e-6
+    assert abs(tr["final_val_loss"] - ev["test_loss"]) < 1e-6
+
 
 def test_predictor_empty_batch_returns_empty(dirs):
     from focused_attention_vit_tpu.infer import Predictor
