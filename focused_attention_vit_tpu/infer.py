@@ -22,7 +22,8 @@ from focused_attention_vit_tpu.data.pipeline import (
 
 
 def padded_predict_proba(
-    fwd, params, batch_size: int, num_classes: int, images_u8: np.ndarray
+    fwd, params, batch_size: int, num_classes: int, images_u8: np.ndarray,
+    *, max_in_flight: int = 2,
 ) -> np.ndarray:
     """Run a fixed-batch serving function over an arbitrary request size.
 
@@ -31,18 +32,37 @@ def padded_predict_proba(
     the one compiled program serves every request size. Shared by the live
     :class:`Predictor` and the deserialized artifact predictor
     (export.ExportedPredictor).
+
+    Chunks are pipelined ``max_in_flight`` deep: JAX dispatch is async, so
+    chunk i+1's host→device transfer overlaps chunk i's compute and
+    result readback instead of serializing transfer→compute→readback per
+    chunk (the serving path is transfer-bound — BASELINE.md "serving-stack
+    throughput": 92% of a batch's 377 ms here is host↔device movement).
+    Device memory holds at most ``max_in_flight`` input batches.
     """
     n = len(images_u8)
     if n == 0:
         return np.zeros((0, num_classes), dtype=np.float32)
+    from collections import deque
+
+    pending: deque = deque()  # (device_probs, pad)
     out = []
+
+    def collect():
+        dev, pad = pending.popleft()
+        probs = np.asarray(dev)
+        out.append(probs[: len(probs) - pad] if pad else probs)
+
     for start in range(0, n, batch_size):
         chunk = images_u8[start : start + batch_size]
         pad = batch_size - len(chunk)
         if pad:
             chunk = np.concatenate([chunk, np.repeat(chunk[:1], pad, axis=0)])
-        probs = np.asarray(fwd(params, jnp.asarray(chunk)))
-        out.append(probs[: len(probs) - pad] if pad else probs)
+        pending.append((fwd(params, jnp.asarray(chunk)), pad))
+        if len(pending) >= max(1, max_in_flight):
+            collect()
+    while pending:
+        collect()
     return np.concatenate(out)[:n]
 
 

@@ -79,25 +79,39 @@ class BatchingServer:
     max_delay_ms:
         How long the worker waits to fill a batch after the first request
         arrives. The p99 added latency of the coalescer.
+    workers:
+        Inference worker threads. JAX dispatch is async and the result
+        pull releases the GIL, so with 2 workers one batch's host→device
+        transfer overlaps the other's compute + readback — the serving
+        path is transfer-bound (BASELINE.md "serving-stack throughput").
+        Batches may complete out of order across workers; each request's
+        future is delivered by the worker that took it, so per-request
+        semantics are unchanged.
     """
 
-    def __init__(self, predictor, *, max_delay_ms: float = 5.0):
+    def __init__(self, predictor, *, max_delay_ms: float = 5.0,
+                 workers: int = 2):
         self._p = predictor
         self._capacity = int(predictor.batch_size)
         self._max_delay = max_delay_ms / 1000.0
         self._lock = threading.Lock()
         self._nonempty = threading.Condition(self._lock)
         self._queue: List[Tuple[np.ndarray, Future]] = []
-        # Futures the worker has popped but not yet delivered — tracked so
-        # close() can fail them when the worker hangs in device inference
-        # (queued futures alone don't cover the in-flight batch).
+        self._filling = False  # single-packer gate, see _take_batch
+        # Futures workers have popped but not yet delivered — tracked so
+        # close() can fail them when a worker hangs in device inference
+        # (queued futures alone don't cover the in-flight batches).
         self._inflight: List[Future] = []
         self._closed = False
         self.stats = ServeStats()
-        self._worker = threading.Thread(
-            target=self._run, name="favit-serve", daemon=True
-        )
-        self._worker.start()
+        self._workers = [
+            threading.Thread(
+                target=self._run, name=f"favit-serve-{i}", daemon=True
+            )
+            for i in range(max(1, int(workers)))
+        ]
+        for t in self._workers:
+            t.start()
 
     # -- client side -----------------------------------------------------
 
@@ -126,21 +140,25 @@ class BatchingServer:
     def close(self, timeout: Optional[float] = 10.0) -> None:
         """Drain the queue and stop the worker.
 
-        If the worker does not finish within ``timeout`` (e.g. device
+        If the workers do not finish within ``timeout`` (e.g. device
         inference hung — the documented axon-tunnel outage mode), every
         still-queued future is failed with a RuntimeError so blocking
         callers in :meth:`predict_proba` unblock instead of waiting
-        forever. A future the worker already took but never delivered is
+        forever. A future a worker already took but never delivered is
         failed the same way."""
         with self._nonempty:
             self._closed = True
-            self._nonempty.notify()
-        self._worker.join(timeout)
-        if self._worker.is_alive():
+            self._nonempty.notify_all()
+        deadline = time.monotonic() + (timeout if timeout else 0.0)
+        for t in self._workers:
+            t.join(max(0.0, deadline - time.monotonic())
+                   if timeout is not None else None)
+        if any(t.is_alive() for t in self._workers):
             with self._nonempty:
                 undelivered = [fut for _, fut in self._queue]
                 undelivered += self._inflight
                 self._queue.clear()
+                self._inflight = []
             for fut in undelivered:
                 _deliver(
                     fut,
@@ -160,38 +178,52 @@ class BatchingServer:
 
     def _take_batch(self) -> Optional[List[Tuple[np.ndarray, Future]]]:
         """Block for the first request, then pack whole requests until the
-        device batch is full or ``max_delay`` has elapsed."""
+        device batch is full or ``max_delay`` has elapsed.
+
+        Only ONE worker packs at a time (``_filling`` gate): concurrent
+        fillers would split back-to-back requests into half-empty batches
+        — coalescing semantics are identical to a single-worker server,
+        and extra workers add only inference overlap."""
         with self._nonempty:
-            while not self._queue and not self._closed:
+            while (not self._queue or self._filling) and not self._closed:
                 self._nonempty.wait()
+            while self._filling:
+                # Closed while another worker packs: let it finish; any
+                # overflow it leaves in the queue is ours next.
+                self._nonempty.wait(timeout=0.05)
             if not self._queue:
                 return None  # closed and drained
-            deadline = time.monotonic() + self._max_delay
-            taken: List[Tuple[np.ndarray, Future]] = []
-            n = 0
-            hw = None  # only same-(h,w,c) requests share a concatenate
-            while True:
-                # Pack every queued request that still fits.
-                i = 0
-                while i < len(self._queue):
-                    req = self._queue[i][0]
-                    req_n = len(req)
-                    if req_n > self._capacity and not taken:
-                        # Oversize request at the head: ship it alone.
-                        return [self._queue.pop(i)]
-                    if n + req_n <= self._capacity and (
-                        hw is None or req.shape[1:] == hw
-                    ):
-                        item = self._queue.pop(i)
-                        taken.append(item)
-                        hw = req.shape[1:]
-                        n += req_n
-                    else:
-                        i += 1
-                remaining = deadline - time.monotonic()
-                if n >= self._capacity or self._closed or remaining <= 0:
-                    return taken
-                self._nonempty.wait(timeout=remaining)
+            self._filling = True
+            try:
+                deadline = time.monotonic() + self._max_delay
+                taken: List[Tuple[np.ndarray, Future]] = []
+                n = 0
+                hw = None  # only same-(h,w,c) requests share a concatenate
+                while True:
+                    # Pack every queued request that still fits.
+                    i = 0
+                    while i < len(self._queue):
+                        req = self._queue[i][0]
+                        req_n = len(req)
+                        if req_n > self._capacity and not taken:
+                            # Oversize request at the head: ship it alone.
+                            return [self._queue.pop(i)]
+                        if n + req_n <= self._capacity and (
+                            hw is None or req.shape[1:] == hw
+                        ):
+                            item = self._queue.pop(i)
+                            taken.append(item)
+                            hw = req.shape[1:]
+                            n += req_n
+                        else:
+                            i += 1
+                    remaining = deadline - time.monotonic()
+                    if n >= self._capacity or self._closed or remaining <= 0:
+                        return taken
+                    self._nonempty.wait(timeout=remaining)
+            finally:
+                self._filling = False
+                self._nonempty.notify_all()
 
     def _run(self) -> None:
         while True:
@@ -199,29 +231,37 @@ class BatchingServer:
             if batch is None:
                 return
             arrays = [a for a, _ in batch]
+            futs = [fut for _, fut in batch]
             total = sum(len(a) for a in arrays)
             with self._lock:
-                self._inflight = [fut for _, fut in batch]
+                self._inflight.extend(futs)
             try:
                 probs = self._p.predict_proba(np.concatenate(arrays))
             except Exception as e:  # propagate to every waiting caller
-                for _, fut in batch:
+                for fut in futs:
                     _deliver(fut, exc=e)
-                with self._lock:
-                    self._inflight = []
+                self._done_inflight(futs)
                 continue
-            if total > self._capacity:
-                self.stats.oversize_requests += 1
-            else:
-                self.stats.batches += 1
-                self.stats.batched_images += total
-                self.stats.fill_sum += total / self._capacity
+            with self._lock:
+                if total > self._capacity:
+                    self.stats.oversize_requests += 1
+                else:
+                    self.stats.batches += 1
+                    self.stats.batched_images += total
+                    self.stats.fill_sum += total / self._capacity
             off = 0
             for a, fut in batch:
                 _deliver(fut, result=probs[off : off + len(a)])
                 off += len(a)
-            with self._lock:
-                self._inflight = []
+            self._done_inflight(futs)
+
+    def _done_inflight(self, futs) -> None:
+        with self._lock:
+            for f in futs:
+                try:
+                    self._inflight.remove(f)
+                except ValueError:
+                    pass  # close() already drained the list
 
 
 # ---------------------------------------------------------------------------
@@ -384,6 +424,10 @@ def main(argv=None) -> None:
     p.add_argument("--batch_size", type=int, default=64,
                    help="device batch (the one compiled program shape)")
     p.add_argument("--max_delay_ms", type=float, default=5.0)
+    p.add_argument("--workers", type=int, default=2,
+                   help="inference worker threads (2 overlaps one batch's "
+                        "host->device transfer with the other's compute; "
+                        "coalescing itself stays single-packer)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8700)
     p.add_argument("--num_devices", type=int, default=None)
@@ -448,7 +492,8 @@ def main(argv=None) -> None:
         print(f"compiling (batch {args.batch_size}, "
               f"{jax.devices()[0].platform}) ...", flush=True)
         predictor.warmup()
-    with BatchingServer(predictor, max_delay_ms=args.max_delay_ms) as srv:
+    with BatchingServer(predictor, max_delay_ms=args.max_delay_ms,
+                        workers=args.workers) as srv:
         with HTTPFrontend(srv, host=args.host, port=args.port) as fe:
             print(f"serving on http://{fe.host}:{fe.port} "
                   f"(POST /predict, GET /stats, GET /healthz)", flush=True)

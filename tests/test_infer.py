@@ -104,3 +104,41 @@ def test_predictor_on_mesh():
 
     with pytest.raises(ValueError):
         Predictor(model, params, img_size=32, batch_size=15, mesh=mesh)
+
+
+def test_padded_predict_proba_pipelining_equivalence():
+    """Multi-chunk requests run max_in_flight deep (async-dispatch
+    pipelining, BASELINE.md 'serving-stack throughput'); results must be
+    identical to the fully serial collection order for any depth."""
+    import jax
+    import jax.numpy as jnp
+
+    from focused_attention_vit_tpu.infer import (
+        Predictor,
+        padded_predict_proba,
+    )
+    from focused_attention_vit_tpu.models import VisionTransformer
+
+    model = VisionTransformer(
+        img_size=32, patch_size=8, num_classes=10,
+        embed_dim=64, depth=1, num_heads=4,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
+    )["params"]
+    pred = Predictor(
+        model, params, img_size=32, batch_size=8, compute_dtype=jnp.float32
+    )
+    imgs = np.random.default_rng(3).integers(
+        0, 255, size=(37, 32, 32, 3)  # 5 chunks, ragged tail
+    ).astype(np.uint8)
+
+    outs = [
+        padded_predict_proba(
+            pred._fwd, pred.params, 8, 10, imgs, max_in_flight=k
+        )
+        for k in (1, 2, 4)
+    ]
+    assert outs[0].shape == (37, 10)
+    for o in outs[1:]:
+        np.testing.assert_array_equal(outs[0], o)

@@ -171,7 +171,10 @@ class TestBatchingServer:
         import time
 
         time.sleep(0.3)
-        f2 = srv.submit(_images(rng, 1))  # still queued behind the hang
+        # With the default two workers this lands IN-FLIGHT on worker 2
+        # (which also hangs); with one worker it would sit queued — close()
+        # must fail it either way.
+        f2 = srv.submit(_images(rng, 1))
         srv.close(timeout=0.5)
         with pytest.raises(RuntimeError, match="unresponsive"):
             f2.result(timeout=10)
@@ -268,3 +271,46 @@ def test_build_model_dispatch():
     assert isinstance(m, VisionTransformerMHLA) and m.use_mhla
     ns.model = "vit"
     assert isinstance(_build_model(ns), VisionTransformer)
+
+
+class TestPipelinedWorkers:
+    """The default workers=2 server overlaps inference across batches
+    (transfer-bound serving — BASELINE.md 'serving-stack throughput')
+    while the _filling gate keeps coalescing semantics single-packer."""
+
+    def test_two_batches_in_flight_concurrently(self):
+        import threading
+
+        barrier = threading.Barrier(2, timeout=15)
+
+        class _Rendezvous:
+            batch_size = 2
+
+            def predict_proba(self, images_u8):
+                # Completes only when TWO batches are inside inference at
+                # once — proves worker-level pipelining. A single-worker
+                # server would deadlock here (barrier timeout).
+                barrier.wait()
+                return np.zeros((len(images_u8), 10), np.float32)
+
+        rng = np.random.default_rng(9)
+        srv = BatchingServer(_Rendezvous(), max_delay_ms=1.0, workers=2)
+        try:
+            f1 = srv.submit(_images(rng, 2))  # full batch -> ships at once
+            f2 = srv.submit(_images(rng, 2))
+            assert f1.result(timeout=30).shape == (2, 10)
+            assert f2.result(timeout=30).shape == (2, 10)
+        finally:
+            srv.close()
+
+    def test_single_worker_opt_out(self, predictor):
+        rng = np.random.default_rng(10)
+        req = _images(rng, 3)
+        srv = BatchingServer(predictor, max_delay_ms=5.0, workers=1)
+        try:
+            out = srv.predict_proba(req)
+        finally:
+            srv.close()
+        np.testing.assert_allclose(
+            out, predictor.predict_proba(req), rtol=0, atol=1e-6
+        )

@@ -78,6 +78,23 @@ def bench_direct(pred: Predictor, rng) -> dict:
             "batch_latency_ms": round(1000 * dt / (n / BATCH), 2)}
 
 
+def bench_offline(pred: Predictor, rng) -> dict:
+    """One big predict_proba call — exercises the in-request chunk
+    pipeline (padded_predict_proba max_in_flight): chunk i+1's H2D
+    transfer overlaps chunk i's compute + readback."""
+    imgs = rng.integers(0, 255, size=(8 * BATCH, IMG, IMG, 3),
+                        dtype=np.uint8)
+    pred.predict_proba(imgs[: 2 * BATCH])  # warm
+    t0 = time.time()
+    reps = 0
+    while time.time() - t0 < SECONDS:
+        pred.predict_proba(imgs)
+        reps += 1
+    dt = time.time() - t0
+    return {"images_per_sec": round(reps * len(imgs) / dt, 1),
+            "call_ms": round(1000 * dt / reps, 1)}
+
+
 def _client_loop(submit, stop, lat, count):
     rng = np.random.default_rng(threading.get_ident() % 2**31)
     img = rng.integers(0, 255, size=(1, IMG, IMG, 3), dtype=np.uint8)
@@ -124,6 +141,7 @@ def main():
            "backend": jax.default_backend(), "seconds": SECONDS}
 
     out["direct"] = bench_direct(pred, rng)
+    out["offline_512"] = bench_offline(pred, rng)
 
     srv = BatchingServer(pred, max_delay_ms=3.0)
     # warm the coalescer path
