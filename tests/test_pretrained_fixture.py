@@ -144,3 +144,49 @@ def test_missing_cache_falls_back_loudly(tmp_path, caplog):
         )
     assert params is None
     assert any("RANDOM INITIALIZATION" in r.getMessage() for r in caplog.records)
+
+
+def test_convert_cli_writes_msgpack(fixture_ckpt, tmp_path):
+    """python -m focused_attention_vit_tpu.convert: the standalone
+    conversion step produces the same pytree the library converter
+    yields, in the msgpack format the serving/cache paths consume."""
+    import torch
+    from flax import serialization
+
+    from focused_attention_vit_tpu.convert import (
+        torchvision_vit_to_flax,
+        vit_params_to_mhla,
+    )
+    from focused_attention_vit_tpu.convert.__main__ import main
+
+    out = tmp_path / "params.msgpack"
+    rc = main([fixture_ckpt, str(out), "--format", "torchvision",
+               "--num_classes", "1000"])
+    assert rc == 0 and out.exists()
+
+    got = serialization.msgpack_restore(out.read_bytes())
+    sd = torch.load(fixture_ckpt, map_location="cpu", weights_only=True)
+    want = torchvision_vit_to_flax(sd, num_classes=1000)
+    import jax
+
+    assert jax.tree.structure(got) == jax.tree.structure(
+        jax.tree.map(np.asarray, want)
+    )
+    np.testing.assert_array_equal(
+        got["blocks_0"]["attn"]["qkv"]["kernel"],
+        want["blocks_0"]["attn"]["qkv"]["kernel"],
+    )
+
+    # Variant surgery through the CLI: --to mhla adds the identity
+    # latent_proj (reference experiments/mhla_pretrained.py:224-225).
+    out2 = tmp_path / "mhla.msgpack"
+    rc = main([fixture_ckpt, str(out2), "--format", "torchvision",
+               "--num_classes", "1000", "--to", "mhla"])
+    assert rc == 0
+    got2 = serialization.msgpack_restore(out2.read_bytes())
+    lat = got2["blocks_0"]["attn"]["latent_proj"]
+    np.testing.assert_array_equal(lat["kernel"], np.eye(64, dtype=np.float32))
+    want2 = vit_params_to_mhla(want, 12, 64)
+    assert jax.tree.structure(got2) == jax.tree.structure(
+        jax.tree.map(np.asarray, want2)
+    )
