@@ -405,7 +405,14 @@ def test_checkpoint_resume_continues_global_step(dirs, tmp_path):
     assert len(e3.metrics["training"]["train_losses"]) == 0
     tr = e3.metrics["training"]
     ev = e3.metrics["evaluation"]
-    assert tr["final_val_acc"] > 0.0
+    # The filled-in metrics must describe the RESTORED model, i.e. match the
+    # previous run's final val metrics, not the 0.0 defaults of an empty
+    # segment. (final_val_acc itself may legitimately be 0.0 on this tiny
+    # synthetic set, so the non-vacuous guard is the loss.)
+    tr2 = e2.metrics["training"]
+    assert tr["final_val_loss"] > 0.0
+    assert abs(tr["final_val_loss"] - tr2["val_losses"][-1]) < 1e-5
+    assert abs(tr["final_val_acc"] - tr2["val_accs"][-1]) < 1e-5
     # val set == test set in this pipeline, so the filled-in final_val
     # metrics must agree with evaluate()'s.
     assert abs(tr["final_val_acc"] - ev["test_acc"]) < 1e-6
