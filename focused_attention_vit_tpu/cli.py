@@ -130,6 +130,14 @@ def parse_args(argv=None):
                              "token axis; windowed MHLA attention exchanges "
                              "a W//2-row halo over ICI "
                              "(parallel/sequence.py). MHLA models only")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="ZeRO-3 fully-sharded data parallelism: "
+                             "params + optimizer moments sharded over the "
+                             "'data' axis (just-in-time all-gather / grad "
+                             "reduce-scatter via GSPMD); same trajectory "
+                             "as DP with per-device state memory divided "
+                             "by the DP size. Requires a mesh; composes "
+                             "with --tp/--pp")
     parser.add_argument("--pp", type=int, default=1,
                         help="Pipeline-parallel ('stage') axis size; must "
                              "divide --num_devices (with --tp/--sp) and "
@@ -179,6 +187,7 @@ def _common_kwargs(args):
         remat_policy=args.remat_policy,
         scan_layers=args.scan_layers,
         num_devices=args.num_devices,
+        fsdp=args.fsdp,
         tp=args.tp,
         sp=args.sp,
         pp=args.pp,

@@ -95,6 +95,12 @@ class ExperimentBase:
     # produce loop-form params; convert with layers.stack_block_params).
     scan_layers: bool = False
     num_devices: Optional[int] = None  # >1 (or -1 = all) trains on a mesh
+    # ZeRO-3-style fully-sharded data parallelism: params + AdamW moments
+    # sharded over 'data' (largest divisible dim per leaf); GSPMD inserts
+    # the just-in-time all-gather / grad reduce-scatter. Same trajectory
+    # as DP, per-device param+optimizer memory divided by the data-axis
+    # size. Composes with --tp/--pp (parallel/sharding._add_fsdp).
+    fsdp: bool = False
     tp: int = 1  # 'model' (tensor-parallel) axis size of the mesh
     # 'seq' (sequence-parallel) axis size: shards the token axis of
     # activations and the windowed attention's halo-exchange band
@@ -280,16 +286,32 @@ class ExperimentBase:
         self.metrics["theoretical"] = self.theoretical_metrics()
         self.metrics["model_size"] = calculate_model_size(self.state.params)
 
+        state_sharding = None
         if self.mesh is not None:
-            from focused_attention_vit_tpu.parallel import shard_state
+            from focused_attention_vit_tpu.parallel import (
+                shard_state,
+                state_shardings,
+            )
 
-            self.state = shard_state(self.state, self.mesh)
+            self.state = shard_state(self.state, self.mesh, fsdp=self.fsdp)
+            if self.fsdp:
+                # Pin the FSDP layout on both sides of the jitted step —
+                # the partitioner must not densify the updated state.
+                state_sharding = state_shardings(
+                    self.state, self.mesh, fsdp=True
+                )
+        elif self.fsdp:
+            raise ValueError(
+                "--fsdp requires a device mesh (--num_devices/--tp/...): "
+                "parameter sharding needs a 'data' axis to shard over"
+            )
 
         self.train_step = make_train_step(
             self.img_size,
             compute_dtype=self.jnp_dtype,
             mesh=self.mesh,
             microbatch=self._effective_microbatch(),
+            state_sharding=state_sharding,
         )
         self.eval_step = make_eval_step(
             self.img_size, compute_dtype=self.jnp_dtype, mesh=self.mesh
@@ -413,7 +435,9 @@ class ExperimentBase:
                             shard_state,
                         )
 
-                        self.state = shard_state(self.state, self.mesh)
+                        self.state = shard_state(
+                            self.state, self.mesh, fsdp=self.fsdp
+                        )
                     start_epoch = latest
                     print(f"Resumed from checkpoint epoch {latest}")
 

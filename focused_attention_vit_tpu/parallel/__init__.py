@@ -1,4 +1,4 @@
-"""Device-mesh parallelism (DP + TP + SP) via jax.sharding + jit.
+"""Device-mesh parallelism (DP + FSDP + TP + SP + PP) via jax.sharding + jit.
 
 The reference is strictly single-process single-device (SURVEY.md §2.4 —
 zero distributed code). This layer is the rebuild's TPU-native scaling
@@ -19,6 +19,7 @@ from focused_attention_vit_tpu.parallel.sharding import (
     param_sharding_rules,
     shard_params,
     shard_state,
+    state_shardings,
     make_sharded_train_step,
 )
 
@@ -30,5 +31,6 @@ __all__ = [
     "param_sharding_rules",
     "shard_params",
     "shard_state",
+    "state_shardings",
     "make_sharded_train_step",
 ]

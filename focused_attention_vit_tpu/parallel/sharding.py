@@ -13,6 +13,14 @@ let XLA insert collectives):
   relayout; q/k/v/attention stay head-local per shard and the head-major
   output projection (kernel [h, d, D]) is row-sharded, psum-reduced.
 * Everything else (norms, embeddings, latent_proj, head) is replicated.
+* **FSDP (ZeRO-3 style, opt-in)** — with ``fsdp=True`` every parameter
+  and optimizer-moment leaf is additionally sharded over 'data' on its
+  largest still-unsharded divisible dim. GSPMD then all-gathers each
+  param just-in-time for its op and reduce-scatters its gradient, and
+  the AdamW update runs on the 1/dp shard — per-device parameter +
+  optimizer memory drops by the data-axis size while the math stays
+  bitwise the DP trajectory. Leaves with no divisible dim (tiny norms
+  at odd widths) stay replicated rather than erroring.
 """
 
 from __future__ import annotations
@@ -62,11 +70,50 @@ def _fits(spec: P, leaf, mesh: Mesh) -> bool:
     return True
 
 
-def param_sharding_rules(params: Mapping[str, Any], mesh: Mesh):
+def _add_fsdp(spec: P, leaf, mesh: Mesh) -> P:
+    """Augment a (TP/PP) spec with 'data' on the largest free divisible dim.
+
+    This is the ZeRO-3 placement: the weight itself lives sharded over the
+    data axis and GSPMD inserts the all-gather (use) / reduce-scatter
+    (grad) collectives. Dims already owned by 'model'/'stage' are left
+    alone so FSDP composes with TP and PP.
+    """
+    ndim = len(leaf.shape) if hasattr(leaf, "shape") else 0
+    if ndim == 0 or "data" not in mesh.axis_names:
+        return spec
+    dp = mesh.shape["data"]
+    if dp <= 1:
+        return spec
+    entries = list(spec) + [None] * (ndim - len(spec))
+    free = [
+        d for d in range(ndim)
+        if entries[d] is None and leaf.shape[d] % dp == 0 and leaf.shape[d] > 0
+    ]
+    if free:
+        d = max(free, key=lambda i: leaf.shape[i])
+        entries[d] = "data"
+        return P(*entries)
+    # No free dim: extend a TP/PP-owned dim to an (axis, 'data') product
+    # when the dim divides both (e.g. fc1 bias [H] is P('model') — under
+    # FSDP it becomes P(('model','data')), each device holding H/(tp*dp)).
+    taken = [
+        d for d in range(ndim)
+        if isinstance(entries[d], str)
+        and leaf.shape[d] % (mesh.shape[entries[d]] * dp) == 0
+    ]
+    if taken:
+        d = max(taken, key=lambda i: leaf.shape[i])
+        entries[d] = (entries[d], "data")
+        return P(*entries)
+    return spec
+
+
+def param_sharding_rules(params: Mapping[str, Any], mesh: Mesh, *, fsdp: bool = False):
     """PartitionSpec pytree for a model parameter pytree.
 
     Dims not divisible by their mesh axis (e.g. num_heads % tp != 0) fall
-    back to replication rather than erroring.
+    back to replication rather than erroring. With ``fsdp=True`` every
+    leaf is additionally sharded over 'data' (see _add_fsdp).
     """
 
     def path_str(path) -> str:
@@ -80,7 +127,7 @@ def param_sharding_rules(params: Mapping[str, Any], mesh: Mesh):
         def __init__(self, shape):
             self.shape = shape
 
-    def rule(path, leaf) -> P:
+    def base_rule(path, leaf) -> P:
         p = path_str(path)
         ndim = len(leaf.shape) if hasattr(leaf, "shape") else 0
         if "/block/" in f"/{p}/" and ndim >= 1:
@@ -107,27 +154,41 @@ def param_sharding_rules(params: Mapping[str, Any], mesh: Mesh):
             return P(*([None] * ndim)) if ndim else P()
         return spec
 
+    def rule(path, leaf) -> P:
+        spec = base_rule(path, leaf)
+        return _add_fsdp(spec, leaf, mesh) if fsdp else spec
+
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     specs = [rule(p, leaf) for p, leaf in flat]
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 
-def shard_state(state, mesh: Mesh):
+def shard_state(state, mesh: Mesh, *, fsdp: bool = False):
     """Place a full TrainState (params + optimizer state) onto the mesh.
 
     Optimizer-moment leaves (AdamW mu/nu) mirror the param tree, so their
     flattened paths end with the same ``<module>/<param>`` suffixes and the
-    same rules apply; scalar counts replicate.
+    same rules apply; scalar counts replicate. With ``fsdp=True`` the
+    ZeRO-3 placement applies to params and moments alike.
     """
-    specs = param_sharding_rules(state, mesh)
+    specs = param_sharding_rules(state, mesh, fsdp=fsdp)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs
     )
 
 
-def shard_params(params, mesh: Mesh):
+def state_shardings(state, mesh: Mesh, *, fsdp: bool = False):
+    """NamedSharding pytree mirroring shard_state's placement (for jit
+    in/out_shardings — pins the updated state to the same layout so a
+    donated FSDP state cannot silently densify across steps)."""
+    specs = param_sharding_rules(state, mesh, fsdp=fsdp)
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_params(params, mesh: Mesh, *, fsdp: bool = False):
     """Place a parameter pytree onto the mesh per the rules."""
-    specs = param_sharding_rules(params, mesh)
+    specs = param_sharding_rules(params, mesh, fsdp=fsdp)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )

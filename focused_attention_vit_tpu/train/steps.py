@@ -37,6 +37,7 @@ def make_train_step(
     sharding_constraint: Optional[Callable] = None,
     mesh=None,
     microbatch: Optional[int] = None,
+    state_sharding=None,
 ) -> Callable:
     """Build the fused augment+fwd+bwd+update step.
 
@@ -48,6 +49,10 @@ def make_train_step(
     sharded over 'data' (host numpy batches are split across devices by
     jit) and the state keeps whatever sharding it was placed with (see
     parallel.shard_state) — XLA inserts the gradient all-reduce over ICI.
+    ``state_sharding`` (a NamedSharding pytree mirroring the TrainState,
+    parallel.state_shardings) pins the state layout explicitly on both
+    sides of the jit — required under FSDP, where the partitioner must
+    not be free to return a densified (all-gathered) updated state.
     """
     if mesh is not None:
         # Mesh training already shrinks the per-device batch; chunking a
@@ -64,7 +69,10 @@ def make_train_step(
         jit = partial(
             jax.jit,
             donate_argnums=(0,),
-            in_shardings=(None, batch_sh, batch_sh, repl),
+            in_shardings=(
+                state_sharding, batch_sh, batch_sh, repl
+            ),
+            out_shardings=(state_sharding, None),
         )
     else:
         jit = partial(jax.jit, donate_argnums=(0,))

@@ -439,6 +439,25 @@ def test_predictor_empty_batch_returns_empty(dirs):
     assert out.shape == (0, 7)
 
 
+def test_fsdp_experiment_end_to_end(dirs):
+    """--fsdp through the full experiment pipeline: train + eval + detailed
+    metrics + CSV on an 8-device mesh with ZeRO-3-sharded state. The
+    updated state must KEEP the FSDP layout after training (the
+    out_shardings pin in make_train_step), not densify."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    e = exp.TraditionalViTExperiment(**TINY, **dirs, num_devices=8, fsdp=True)
+    e.run()
+    assert os.path.exists(
+        os.path.join(dirs["results_dir"], "exp1_traditional.csv")
+    )
+    fc1 = e.state.params["blocks_0"]["mlp"]["fc1"]["kernel"]
+    assert fc1.sharding.spec == jax.sharding.PartitionSpec("data", "model")
+    assert fc1.addressable_shards[0].data.size * 8 == fc1.size
+
+
 def test_explicit_microbatch_with_mesh_rejected(dirs):
     """--microbatch with a device mesh must error loudly — make_train_step
     force-disables chunking under a mesh, so silently accepting the flag
