@@ -147,8 +147,11 @@ def parse_args(argv=None):
     parser.add_argument("--microbatch", type=int, default=None,
                         help="Gradient-accumulation chunk inside the jitted "
                              "train step (identical batch math; smaller "
-                             "live activation set). Default: auto (16 on a "
-                             "single device); 0 disables")
+                             "live activation set). Composes with a mesh: "
+                             "chunks stay batch-sharded over 'data' (value "
+                             "must be a multiple of the DP size). Default: "
+                             "auto (16 on a single device, off on a mesh); "
+                             "0 disables")
 
     return parser.parse_args(argv)
 

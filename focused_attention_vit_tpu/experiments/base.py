@@ -113,7 +113,9 @@ class ExperimentBase:
     # Gradient-accumulation chunk inside the jitted step. None = auto
     # (16 on a single device — measured +66% ViT-B/16 throughput on v5e,
     # see BASELINE.md roofline; off on a mesh where the per-device batch is
-    # already small). 0 disables.
+    # already small). Explicit values compose with a mesh (chunks stay
+    # batch-sharded over 'data'; must be a multiple of the DP size).
+    # 0 disables.
     microbatch: Optional[int] = None
 
     # --- subclass hooks -----------------------------------------------------
@@ -328,16 +330,17 @@ class ExperimentBase:
         if mb is not None and mb < 0:
             raise ValueError(f"--microbatch must be positive (got {mb})")
         if mb is not None and self.mesh is not None:
-            # make_train_step force-disables microbatching under a mesh
-            # (chunking would reshape across the batch-sharded axis);
-            # silently ignoring an explicit flag would invalidate any
-            # benchmark built on it.
-            raise ValueError(
-                "--microbatch cannot be combined with a device mesh "
-                "(--num_devices/--tp/--sp/--pp): the mesh already shrinks "
-                "the per-device batch and in-step chunking would reshape "
-                "across the sharded axis"
-            )
+            # Gradient accumulation composes with the mesh: every scan
+            # chunk stays batch-sharded over 'data', so the microbatch
+            # must split evenly across the data axis (the same loud-error
+            # policy as the single-device divisor check below).
+            dp = self.mesh.shape["data"]
+            if mb % dp:
+                raise ValueError(
+                    f"--microbatch {mb} must be a multiple of the "
+                    f"data-parallel axis size {dp} (each accumulation "
+                    f"chunk is itself batch-sharded over 'data')"
+                )
         if mb is not None:
             # Explicit flag: refuse values the step could not honor
             # instead of silently running monolithic (the same loud-error

@@ -55,13 +55,28 @@ def make_train_step(
     not be free to return a densified (all-gathered) updated state.
     """
     if mesh is not None:
-        # Mesh training already shrinks the per-device batch; chunking a
-        # batch-sharded input would reshape across the sharded axis.
-        microbatch = None
         from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        if microbatch:
+            # Gradient accumulation composes with the mesh: each scan
+            # chunk keeps its batch dim sharded over 'data', so the
+            # microbatch must itself split evenly across the axis (the
+            # [B,...] → [n, mb, ...] reshape is an all-to-all on ICI,
+            # then every chunk step is an ordinary DP step).
+            dp = mesh.shape["data"]
+            if microbatch % dp:
+                raise ValueError(
+                    f"microbatch={microbatch} must be a multiple of the "
+                    f"data-parallel axis size {dp} (each accumulation "
+                    f"chunk is itself batch-sharded over 'data')"
+                )
 
         batch_sh = NamedSharding(mesh, _P("data"))
         repl = NamedSharding(mesh, _P())
+        chunk_sh = NamedSharding(mesh, _P(None, "data"))
+        chunk_constraint = lambda x: jax.lax.with_sharding_constraint(
+            x, chunk_sh
+        )
         if sharding_constraint is None:
             sharding_constraint = lambda x: jax.lax.with_sharding_constraint(
                 x, batch_sh
@@ -123,6 +138,12 @@ def make_train_step(
             n = b // microbatch
             imgs = images_u8.reshape((n, microbatch) + images_u8.shape[1:])
             labs = labels.reshape(n, microbatch)
+            if mesh is not None:
+                # Pin the chunk-stack layout: batch stays sharded over
+                # 'data' within each chunk (one ICI all-to-all up front,
+                # then each scan step is a plain DP step).
+                imgs = chunk_constraint(imgs)
+                labs = chunk_constraint(labs)
 
             def chunk(carry, xs):
                 gacc, lacc, cacc = carry

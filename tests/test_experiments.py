@@ -458,14 +458,14 @@ def test_fsdp_experiment_end_to_end(dirs):
     assert fc1.addressable_shards[0].data.size * 8 == fc1.size
 
 
-def test_explicit_microbatch_with_mesh_rejected(dirs):
-    """--microbatch with a device mesh must error loudly — make_train_step
-    force-disables chunking under a mesh, so silently accepting the flag
-    would invalidate any benchmark built on it."""
+def test_mesh_microbatch_indivisible_rejected(dirs):
+    """--microbatch composes with a mesh (gradient accumulation with
+    batch-sharded chunks), but a chunk that does not split evenly over
+    the 'data' axis must error loudly, not silently reshard."""
     e = exp.TraditionalViTExperiment(
         **TINY, **dirs, num_devices=8, microbatch=4
     )
-    with pytest.raises(ValueError, match="microbatch"):
+    with pytest.raises(ValueError, match="data-parallel axis"):
         e.run()
 
 

@@ -875,3 +875,48 @@ class TestFSDP:
         )
         with pytest.raises(ValueError, match="fsdp requires a device mesh"):
             e.setup()
+
+
+class TestMeshMicrobatch:
+    """Gradient accumulation under a mesh: each scan chunk keeps its batch
+    dim sharded over 'data' (train/steps.make_train_step) — global batch
+    can exceed device memory on any mesh shape."""
+
+    @pytest.mark.parametrize("fsdp", [False, True])
+    def test_mesh_microbatch_matches_single_device_microbatch(self, fsdp):
+        """2 steps at microbatch=8 on the dp8 mesh track the single-device
+        microbatch=8 trajectory (identical chunking ⇒ identical math)."""
+        from focused_attention_vit_tpu.parallel import state_shardings
+
+        mesh, model, params, x_u8, y = _setup(tp=1)
+        key = jax.random.PRNGKey(5)
+
+        single = _fresh_state(model, params)
+        step1 = make_train_step(16, augment=True, microbatch=8)
+        meshed = shard_state(_fresh_state(model, params), mesh, fsdp=fsdp)
+        sh = state_shardings(meshed, mesh, fsdp=True) if fsdp else None
+        step2 = make_train_step(
+            16, augment=True, mesh=mesh, microbatch=8, state_sharding=sh
+        )
+
+        for i in range(2):
+            k = jax.random.fold_in(key, i)
+            single, m1 = step1(single, x_u8, y, k)
+            meshed, m2 = step2(meshed, x_u8, y, k)
+            np.testing.assert_allclose(
+                float(m1["loss_sum"]), float(m2["loss_sum"]), rtol=1e-4
+            )
+
+        for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(single.params)[0],
+            jax.tree_util.tree_flatten_with_path(meshed.params)[0],
+        ):
+            assert p1 == p2
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5, err_msg=str(p1)
+            )
+
+    def test_indivisible_microbatch_rejected_at_build(self):
+        mesh, *_ = _setup(tp=1)
+        with pytest.raises(ValueError, match="data-parallel axis"):
+            make_train_step(16, mesh=mesh, microbatch=4)
