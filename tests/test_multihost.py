@@ -118,6 +118,19 @@ key = multihost.global_batch_from_host_data(
     np.asarray(jax.random.PRNGKey(0)), mesh, P())
 params, opt_state, metrics = step(params, opt_state, gx, gy, key)
 print(f"MH2_LOSS {pid} {float(metrics['loss']):.10f}", flush=True)
+
+# FSDP across processes: params + moments sharded over the GLOBAL 'data'
+# axis (4 devices, 2 per process) — each process holds only its quarter of
+# every divisible leaf; the loss must equal the DP loss above (same init,
+# same batch, augment=False ⇒ the forward is placement-independent).
+params2 = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))["params"]
+params2 = shard_params(params2, mesh, fsdp=True)
+fc1 = params2["blocks_0"]["mlp"]["fc1"]["kernel"]
+assert fc1.addressable_shards[0].data.size * 4 == fc1.size
+opt2 = tx.init(params2)
+step2 = make_sharded_train_step(model, tx, mesh, img_size=8, augment=False)
+_, _, m2 = step2(params2, opt2, gx, gy, key)
+print(f"MH2_FSDP_LOSS {pid} {float(m2['loss']):.10f}", flush=True)
 """
 
 
@@ -154,16 +167,24 @@ def test_two_process_distributed_cluster(tmp_path):
             raise
         assert p.returncode == 0, err[-2000:]
         outs.append(out)
-    losses = {}
+    losses, fsdp_losses = {}, {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("MH2_LOSS"):
                 _, pid, loss = line.split()
                 losses[int(pid)] = float(loss)
+            elif line.startswith("MH2_FSDP_LOSS"):
+                _, pid, loss = line.split()
+                fsdp_losses[int(pid)] = float(loss)
     assert set(losses) == {0, 1}, f"missing process output: {outs}"
     assert losses[0] == losses[1], losses
     import math
     assert math.isfinite(losses[0])
+    # FSDP step ran on both processes and reproduced the DP loss (same
+    # init/batch; ZeRO placement must not change the math).
+    assert set(fsdp_losses) == {0, 1}, f"missing FSDP output: {outs}"
+    assert fsdp_losses[0] == fsdp_losses[1], fsdp_losses
+    assert abs(fsdp_losses[0] - losses[0]) < 1e-5, (fsdp_losses, losses)
 
 
 def test_single_process_distributed_cluster(tmp_path):
