@@ -959,3 +959,31 @@ def test_fsdp_checkpoint_roundtrip_and_continue(tmp_path):
     step2 = make_train_step(16, augment=True, mesh=mesh, state_sharding=sh2)
     restored, metrics = step2(restored, x_u8, y, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss_sum"]))
+
+
+def test_fsdp_rules_compose_with_scan_and_pp():
+    """FSDP on scan-form stacked leaves and under a 'stage' (PP) mesh:
+    the depth axis keeps its PP owner, TP dims keep 'model', and 'data'
+    lands on the largest remaining divisible dim."""
+    mesh = make_mesh(8, tp=2)  # ('data','model') = (4, 2)
+    model = fmodels.VisionTransformer(**TINY, scan_layers=True)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 16, 16, 3))
+    )["params"]
+    rules = param_sharding_rules(params, mesh, fsdp=True)
+    blk = rules["blocks"]["block"]
+    # Stacked fc1 [depth=2, 32, 128]: TP on the hidden dim; 'data' (4)
+    # fits only the embed dim (depth 2 % 4 != 0).
+    assert blk["mlp"]["fc1"]["kernel"] == P(None, "data", "model")
+    # Stacked qkv [2, 32, 3, 4, 8]: heads → 'model', embed → 'data'.
+    assert blk["attn"]["qkv"]["kernel"] == P(None, "data", None, "model", None)
+
+    pp_mesh = make_mesh(8, tp=2, pp=2)  # ('data','model','stage') = (2,2,2)
+    rules = param_sharding_rules(params, pp_mesh, fsdp=True)
+    blk = rules["blocks"]["block"]
+    # Depth axis owned by 'stage'; FSDP takes the hidden dim? No — TP has
+    # it; largest free divisible dim is the embed dim (32 % 2 == 0).
+    assert blk["mlp"]["fc1"]["kernel"] == P("stage", "data", "model")
+    assert blk["attn"]["qkv"]["kernel"] == P(
+        "stage", "data", None, "model", None
+    )
