@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import logging
 import os
+import threading
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -100,6 +101,7 @@ class NativePrefetcher:
         self._out_img = np.empty((batch_size, *self.item_shape), dtype=np.uint8)
         self._out_lab = np.empty((batch_size,), dtype=np.int32)
         self._closed = False
+        self._close_lock = threading.Lock()
 
     def epoch_batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         while True:
@@ -118,9 +120,15 @@ class NativePrefetcher:
             yield self._out_img[:n].copy(), self._out_lab[:n].copy()
 
     def close(self):
-        if not self._closed:
-            self._lib.favit_prefetcher_destroy(self._handle)
+        # Serialize concurrent closes (e.g. a GC finalizer on another
+        # thread racing an explicit close) so the handle cannot be
+        # double-freed; destroy itself blocks until any in-flight Next()
+        # copy drains (batcher.cpp ~Prefetcher active_readers_ wait).
+        with self._close_lock:
+            if self._closed:
+                return
             self._closed = True
+        self._lib.favit_prefetcher_destroy(self._handle)
 
     def __del__(self):  # pragma: no cover
         try:

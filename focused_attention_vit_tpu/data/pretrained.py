@@ -68,19 +68,13 @@ def _write_msgpack_cache(path: str, params: Dict[str, Any]) -> None:
     kept), generalizing the reference's save-the-downloaded-state-dict cache
     (utils/data_utils.py:291-303) to the converted form: subsequent loads
     never touch torch."""
-    from flax import serialization
+    # One atomic-msgpack writer in the codebase: save_params already does
+    # the pid-unique temp + os.replace discipline (and its to_bytes output
+    # is msgpack_restore-compatible for a plain dict pytree — flax
+    # to_state_dict is the identity there).
+    from focused_attention_vit_tpu.train.checkpoint import save_params
 
-    # pid-unique temp name (matching save_params / the native .so
-    # builders): two processes converting the same variant concurrently
-    # must not interleave writes into one shared .tmp inode.
-    tmp = f"{path}.tmp.{os.getpid()}"
-    try:
-        with open(tmp, "wb") as f:
-            f.write(serialization.msgpack_serialize(params))
-        os.replace(tmp, path)
-    finally:
-        if os.path.exists(tmp):
-            os.remove(tmp)
+    save_params(path, params)
     logger.info("Cached converted params to %s", path)
 
 

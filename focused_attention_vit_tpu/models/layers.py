@@ -900,7 +900,13 @@ def apply_pipelined_blocks(model, template, x, deterministic: bool):
         return template.apply({"params": p}, xx, deterministic, rngs=rngs)
 
     if model.remat:
-        apply_block = _jax.checkpoint(apply_block)
+        # Honor the model's remat_policy exactly like the scan/loop paths
+        # (plain jax.checkpoint here silently dropped a user-selected
+        # --remat_policy band_weights under --pp).
+        apply_block = _jax.checkpoint(
+            apply_block,
+            policy=resolve_remat_policy(getattr(model, "remat_policy", None)),
+        )
     key = None
     if not deterministic and (
         model.dropout > 0 or model.attn_dropout > 0

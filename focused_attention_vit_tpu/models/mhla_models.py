@@ -99,19 +99,11 @@ class PretrainedViTWithMHLA(nn.Module):
         x = x + self.pos_embed.astype(x.dtype)
         x = self.pos_drop(x, deterministic=deterministic)
         if self.sp_mesh is not None and not self.is_initializing():
-            import jax
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from focused_attention_vit_tpu.parallel.sequence import (
+                token_sharding_constraint,
+            )
 
-            batch_axis = (
-                "data"
-                if "data" in self.sp_mesh.axis_names
-                and x.shape[0] % self.sp_mesh.shape["data"] == 0
-                else None
-            )
-            x = jax.lax.with_sharding_constraint(
-                x,
-                NamedSharding(self.sp_mesh, P(batch_axis, self.sp_axis, None)),
-            )
+            x = token_sharding_constraint(x, self.sp_mesh, self.sp_axis)
         for block in self.blocks:
             x = block(x, deterministic=deterministic)
         x = self.norm(x)

@@ -143,24 +143,15 @@ class VisionTransformerMHLA(nn.Module):
         x = x + self.pos_embed.astype(x.dtype)
         x = self.pos_drop(x, deterministic=deterministic)
         if self.sp_mesh is not None and not self.is_initializing():
-            # Shard the token axis over the sp axis (and batch over 'data'
-            # when the mesh has it): every token-local op — LayerNorm, MLP,
-            # qkv/out projections — partitions with zero communication
-            # under GSPMD; the windowed attention exchanges its halo via
-            # the shard_map in parallel/sequence.py.
-            import jax
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            # Token axis over the sp axis, batch over 'data': token-local
+            # ops partition with zero communication under GSPMD; the
+            # windowed attention exchanges its halo via the shard_map in
+            # parallel/sequence.py (which also owns this constraint).
+            from focused_attention_vit_tpu.parallel.sequence import (
+                token_sharding_constraint,
+            )
 
-            batch_axis = (
-                "data"
-                if "data" in self.sp_mesh.axis_names
-                and x.shape[0] % self.sp_mesh.shape["data"] == 0
-                else None  # e.g. batch-1 init trace
-            )
-            x = jax.lax.with_sharding_constraint(
-                x,
-                NamedSharding(self.sp_mesh, P(batch_axis, self.sp_axis, None)),
-            )
+            x = token_sharding_constraint(x, self.sp_mesh, self.sp_axis)
         if self.pp_mesh is not None and not self.is_initializing():
             from focused_attention_vit_tpu.models.layers import (
                 apply_pipelined_blocks,

@@ -263,3 +263,25 @@ def sp_windowed_attention(
         )
         out = f(padded(q), padded(k), padded(v))
     return out[:, :, :s] if pad else out
+
+
+def token_sharding_constraint(x, mesh, sp_axis: str = "seq"):
+    """Pin ``[B, S, D]`` activations to ``P(data?, sp_axis, None)``.
+
+    The single SP entry hint the models emit after token assembly: the
+    token axis shards over ``sp_axis`` so every token-local op (LayerNorm,
+    MLP, qkv/out projections) partitions with zero communication under
+    GSPMD, and the batch axis shards over 'data' when the mesh has it and
+    the batch divides (a batch-1 init trace falls back to replicated).
+    Shared by VisionTransformerMHLA and PretrainedViTWithMHLA — one place
+    for the divisibility rule and the PartitionSpec.
+    """
+    batch_axis = (
+        "data"
+        if "data" in mesh.axis_names
+        and x.shape[0] % mesh.shape["data"] == 0
+        else None
+    )
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(batch_axis, sp_axis, None))
+    )

@@ -324,12 +324,25 @@ class HTTPFrontend:
                     arr = np.load(io.BytesIO(self.rfile.read(n)),
                                   allow_pickle=False)
                     probs = srv.submit(arr).result(timeout=timeout_s)
-                except (ValueError, RuntimeError) as e:
+                except ValueError as e:
                     self._reply(400, str(e).encode(), "text/plain")
                     return
                 except TimeoutError as e:
                     self._reply(
                         504, f"inference timed out: {e}".encode(),
+                        "text/plain",
+                    )
+                    return
+                except RuntimeError as e:
+                    # Server-side fault, NOT a client error: a closed /
+                    # closing server (submit / close() abandonment) or a
+                    # device failure surfaced through the future (jax's
+                    # XlaRuntimeError subclasses RuntimeError — e.g. the
+                    # axon tunnel dropping mid-serving). 503 lets clients
+                    # and load balancers retry / mark unhealthy; mapping
+                    # these to 400 hid outages as bad requests.
+                    self._reply(
+                        503, f"{type(e).__name__}: {e}".encode(),
                         "text/plain",
                     )
                     return

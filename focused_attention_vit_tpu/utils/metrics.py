@@ -206,13 +206,22 @@ def measure_memory_usage(
 
     # The allocator peak is process-lifetime-monotone and PJRT has no
     # reset (the reference calls torch.cuda.reset_peak_memory_stats before
-    # measuring, utils/metrics.py:264-265) — report the peak RELATIVE to
-    # the bytes live at entry, so measuring a small model after a large
-    # one doesn't inherit the large model's peak.
+    # measuring, utils/metrics.py:264-265). If THIS pass raised the
+    # lifetime peak, its own peak is that new high-water relative to the
+    # bytes live at entry. If it did not (the lifetime peak was inherited
+    # from an earlier, larger measurement in the same process), subtracting
+    # entry-live bytes would still report the EARLIER model's peak — fall
+    # back to the live-bytes delta we did observe (a lower bound on the
+    # true transient peak, disclosed here rather than silently wrong).
     used_before = before.get("device_bytes_in_use", 0.0)
     used_after = after.get("device_bytes_in_use", 0.0)
-    peak = max(after.get("device_peak_bytes", 0.0) - used_before, 0.0)
     used = used_after - used_before
+    peak_before = before.get("device_peak_bytes", 0.0)
+    peak_after = after.get("device_peak_bytes", 0.0)
+    if peak_after > peak_before:
+        peak = max(peak_after - used_before, 0.0)
+    else:
+        peak = max(used, 0.0)
     return {
         "cpu_memory_before_bytes": cpu_before,
         "cpu_memory_after_bytes": cpu_after,

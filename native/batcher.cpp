@@ -57,6 +57,12 @@ class Prefetcher {
     {
       std::unique_lock<std::mutex> lk(mu_);
       stop_ = true;
+      cv_.notify_all();
+      // Drain in-flight Next() copies: the reader's memcpy runs outside
+      // mu_ (see Next), so without this wait a destroy racing a copy
+      // (e.g. GC finalizing the Python wrapper on another thread) would
+      // free the slots mid-memcpy — use-after-free.
+      cv_.wait(lk, [&] { return active_readers_ == 0; });
     }
     cv_.notify_all();
     worker_.join();
@@ -74,7 +80,9 @@ class Prefetcher {
     // Copy outside the lock, mirroring the writer: the slot is
     // exclusively the reader's while `ready` is set (the writer waits
     // for !ready), so holding mu_ across a multi-MB memcpy would only
-    // serialize the consumer against the worker's slot handoffs.
+    // serialize the consumer against the worker's slot handoffs. The
+    // reader count keeps ~Prefetcher from freeing the slots under us.
+    ++active_readers_;
     lk.unlock();
     if (!eoe) {
       std::memcpy(out_images, s.images.data(),
@@ -82,6 +90,7 @@ class Prefetcher {
       std::memcpy(out_labels, s.labels.data(), count * sizeof(int32_t));
     }
     lk.lock();
+    --active_readers_;
     s.ready = false;
     ++read_idx_;
     cv_.notify_all();
@@ -141,6 +150,7 @@ class Prefetcher {
   std::condition_variable cv_;
   std::thread worker_;
   uint64_t read_idx_ = 0, write_idx_ = 0;
+  int active_readers_ = 0;
   bool stop_ = false;
 };
 

@@ -77,3 +77,30 @@ def test_bench_flops_formula_sanity():
     assert abs(f - (expect_dense + attn + patch + 2 * d * 10)) / f < 1e-6
     # ballpark: ViT-B fwd ≈ 35 GFLOP/img at 224² (2 FLOPs/MAC convention)
     assert 30e9 < f < 40e9
+
+
+def test_memory_peak_not_inherited_across_measurements(monkeypatch):
+    """PJRT's allocator peak is process-lifetime-monotone (no reset, unlike
+    torch.cuda.reset_peak_memory_stats — reference utils/metrics.py:264).
+    When a measurement does NOT raise the lifetime peak (it was set by an
+    earlier, larger model), the reported peak must fall back to the
+    observed live-bytes delta instead of reporting the earlier model's
+    peak minus entry-live bytes (review finding)."""
+    from focused_attention_vit_tpu.utils import metrics as M
+
+    seq = iter([
+        # inherited-peak case: lifetime peak 8 GB from an earlier model,
+        # this pass moves live bytes 0.5 → 1.0 GB and never nears 8 GB.
+        {"device_bytes_in_use": 0.5e9, "device_peak_bytes": 8e9},
+        {"device_bytes_in_use": 1.0e9, "device_peak_bytes": 8e9},
+        # peak-advancing case: this pass sets a new lifetime high-water.
+        {"device_bytes_in_use": 1.0e9, "device_peak_bytes": 8e9},
+        {"device_bytes_in_use": 1.2e9, "device_peak_bytes": 9e9},
+    ])
+    monkeypatch.setattr(M, "_device_memory_stats", lambda: next(seq))
+
+    out1 = M.measure_memory_usage(lambda x: x + 1, jnp.ones((4,)))
+    assert out1["gpu_memory_peak_bytes"] == 0.5e9  # live delta, NOT 7.5 GB
+
+    out2 = M.measure_memory_usage(lambda x: x + 1, jnp.ones((4,)))
+    assert out2["gpu_memory_peak_bytes"] == 9e9 - 1.0e9  # new peak − entry

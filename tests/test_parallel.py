@@ -746,6 +746,53 @@ class TestPipelineParallel:
             p_1,
         )
 
+    def test_pp_honors_remat_policy(self, monkeypatch):
+        """--remat_policy must reach jax.checkpoint in the pipelined path
+        (review finding: apply_pipelined_blocks used plain jax.checkpoint,
+        silently dropping a user-selected band_weights policy under --pp)
+        and must not change gradients."""
+        from focused_attention_vit_tpu.models import layers as L
+
+        mesh = make_mesh(8, pp=2)
+        kw = dict(
+            img_size=16, patch_size=4, num_classes=5, embed_dim=32,
+            depth=2, num_heads=4, window_size=5, use_mhla=True,
+            scan_layers=True, remat=True,
+        )
+        x = jnp.asarray(
+            np.random.default_rng(0)
+            .normal(size=(4, 16, 16, 3))
+            .astype(np.float32)
+        )
+        m0 = fmodels.VisionTransformerMHLA(**kw, pp_mesh=mesh)
+        params = m0.init(jax.random.PRNGKey(0), x)["params"]
+
+        seen = []
+        orig = L.resolve_remat_policy
+        monkeypatch.setattr(
+            L, "resolve_remat_policy",
+            lambda p: (seen.append(p), orig(p))[1],
+        )
+
+        def grads(model):
+            def loss(p):
+                out = model.apply(
+                    {"params": p}, x, False,
+                    rngs={"dropout": jax.random.PRNGKey(7)},
+                )
+                return (out ** 2).sum()
+
+            return jax.grad(loss)(params)
+
+        g0 = grads(m0)
+        m1 = fmodels.VisionTransformerMHLA(
+            **kw, pp_mesh=mesh, remat_policy="band_weights"
+        )
+        g1 = grads(m1)
+        assert "band_weights" in seen, "policy never reached the PP path"
+        for a, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
     def test_sp_pp_combination_raises(self):
         """SP×PP would nest manual regions (unsupported by the SPMD
         lowering) — pinned as a loud NotImplementedError."""

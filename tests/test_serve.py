@@ -252,6 +252,30 @@ class TestHTTPFrontend:
                     urllib.request.urlopen(req, timeout=10)
                 assert ei.value.code == 400
 
+    def test_server_fault_is_503(self, predictor):
+        """A RuntimeError is a SERVER fault (closed server; jax device
+        errors subclass RuntimeError) and must surface as 503, not 400
+        (review finding: a mid-serving device outage was reported as a
+        bad request — no client retry, no unhealthy signal)."""
+        import io
+        import urllib.error
+        import urllib.request
+
+        from focused_attention_vit_tpu.serve import HTTPFrontend
+
+        with BatchingServer(predictor, max_delay_ms=5.0) as srv:
+            with HTTPFrontend(srv, port=0) as fe:
+                url = f"http://{fe.host}:{fe.port}"
+                srv.close()
+                buf = io.BytesIO()
+                np.save(buf, np.zeros((1, 32, 32, 3), np.uint8))
+                req = urllib.request.Request(
+                    url + "/predict", data=buf.getvalue(), method="POST"
+                )
+                with pytest.raises(urllib.error.HTTPError) as ei:
+                    urllib.request.urlopen(req, timeout=10)
+                assert ei.value.code == 503
+
 
 def test_build_model_dispatch():
     import argparse
