@@ -321,26 +321,6 @@ def test_tp2_forward_matches_replicated_mhla():
     )
 
 
-def test_microbatch_ignored_under_mesh():
-    """make_train_step(mesh=..., microbatch=...) must not chunk — chunking
-    would reshape across the DP-sharded batch axis."""
-    mesh = make_mesh(8, tp=1)
-    model = fmodels.VisionTransformer(**TINY)
-    rng = np.random.default_rng(0)
-    x_u8 = jnp.asarray(
-        rng.integers(0, 255, size=(16, 16, 16, 3)), dtype=jnp.uint8
-    )
-    y = jnp.asarray(rng.integers(0, 5, size=(16,)))
-    params = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((2, 16, 16, 3), jnp.float32)
-    )["params"]
-    state = shard_state(_fresh_state(model, params), mesh)
-    step = make_train_step(16, mesh=mesh, microbatch=4)  # must be ignored
-    state, m = step(state, x_u8, y, jax.random.PRNGKey(1))
-    assert int(m["count"]) == 16
-    assert np.isfinite(float(m["loss_sum"]))
-
-
 def test_detailed_eval_on_mesh_sharded_and_equal():
     """evaluate_detailed(mesh=...) computes probs DP-sharded over the mesh
     (VERDICT round-2 task 7): the jitted probs fn emits P('data')-sharded
