@@ -169,6 +169,47 @@ class TestWindowedAttention:
                 np.asarray(hooked), np.asarray(oracle), atol=1e-5, rtol=1e-5
             )
 
+    def test_fuzz_random_geometries_match_gather(self, rng):
+        """Seeded sweep over random (S, W) pairs — including S < W, S == W,
+        even W, and W == 1 — the fixed-geometry cases above can't cover.
+        The fast dispatch (dense band / shift / edge overwrite) must match
+        the gather oracle on values AND gradients at every geometry."""
+        from focused_attention_vit_tpu.ops.window import (
+            windowed_latent_attention,
+            _gather_windowed_attention,
+        )
+
+        geoms = {(int(s), int(w)) for s, w in zip(
+            rng.integers(2, 90, size=14), rng.integers(1, 12, size=14)
+        )}
+        geoms |= {(2, 7), (7, 7), (8, 1), (50, 2)}  # forced degenerates
+        b, h, d = 1, 2, 8
+        for i, (s, w) in enumerate(sorted(geoms)):
+            q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+            k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+            v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+            fast = windowed_latent_attention(q, k, v, w)
+            oracle = _gather_windowed_attention(q, k, v, w)
+            np.testing.assert_allclose(
+                np.asarray(fast), np.asarray(oracle), atol=1e-5, rtol=1e-5,
+                err_msg=f"forward mismatch at s={s} w={w}",
+            )
+            if i % 3 == 0:  # grads on a third of the sweep (runtime)
+                cot = jnp.asarray(
+                    rng.normal(size=(b, h, s, d)).astype(np.float32)
+                )
+                g_fast = jax.grad(
+                    lambda t: (windowed_latent_attention(*t, w) * cot).sum()
+                )((q, k, v))
+                g_orac = jax.grad(
+                    lambda t: (_gather_windowed_attention(*t, w) * cot).sum()
+                )((q, k, v))
+                for a, b_ in zip(g_fast, g_orac):
+                    np.testing.assert_allclose(
+                        np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4,
+                        err_msg=f"grad mismatch at s={s} w={w}",
+                    )
+
     def test_mhla_long_s_train_dropout_takes_band_path(self, rng):
         """MHLA at long S (> DENSE_BAND_MAX_SEQ) with attn dropout in train
         mode rides the halo-shift band: the traced program contains no
