@@ -79,6 +79,11 @@ def parse_args(argv=None):
                         help="Linear LR warmup, in (fractional) epochs")
     parser.add_argument("--grad_clip_norm", type=float, default=None,
                         help="Global-norm gradient clipping (extension)")
+    parser.add_argument("--mu_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="AdamW first-moment dtype (extension): "
+                             "bfloat16 halves mu memory; nu stays f32. "
+                             "Composes with --fsdp")
 
     # Pretrained settings (reference: main.py:135-143)
     parser.add_argument("--pretrained_model_variant", type=str, default="vit_b_16")
@@ -175,6 +180,7 @@ def _common_kwargs(args):
         lr_schedule=args.lr_schedule,
         warmup_epochs=args.warmup_epochs,
         grad_clip_norm=args.grad_clip_norm,
+        mu_dtype=args.mu_dtype,
         epochs=args.epochs,
         device=args.device,
         data_dir=args.data_dir,

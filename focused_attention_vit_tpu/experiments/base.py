@@ -90,6 +90,11 @@ class ExperimentBase:
     lr_schedule: str = "constant"  # 'constant' | 'cosine'
     warmup_epochs: float = 0.0  # linear warmup, in (fractional) epochs
     grad_clip_norm: Optional[float] = None  # global-norm gradient clipping
+    # AdamW first-moment dtype (optax mu_dtype): 'bfloat16' halves the
+    # first moment's memory (nu stays f32 — its dynamic range does not
+    # survive bf16). Opt-in: numerics differ slightly from the reference
+    # protocol. Composes with --fsdp (bf16 moments shard like any leaf).
+    mu_dtype: str = "float32"  # 'float32' | 'bfloat16'
     # lax.scan over depth (stacked block params) — the scheduling lever for
     # the S=3137 geometry; random-init experiments only (pretrained loaders
     # produce loop-form params; convert with layers.stack_block_params).
@@ -175,6 +180,19 @@ class ExperimentBase:
             warmup_steps=int(round(self.warmup_epochs * spe)),
         )
 
+    def _mu_dtype(self):
+        """Resolve the mu_dtype config string to a jnp dtype (or None)."""
+        if self.mu_dtype in (None, "float32", "f32"):
+            return None
+        if self.mu_dtype in ("bfloat16", "bf16"):
+            import jax.numpy as jnp
+
+            return jnp.bfloat16
+        raise ValueError(
+            f"--mu_dtype must be 'float32' or 'bfloat16', got "
+            f"{self.mu_dtype!r}"
+        )
+
     def build_optimizer(self, params):
         from focused_attention_vit_tpu.train.state import make_adamw
 
@@ -182,6 +200,7 @@ class ExperimentBase:
             self.lr_for(self.learning_rate),
             self.weight_decay,
             grad_clip_norm=self.grad_clip_norm,
+            mu_dtype=self._mu_dtype(),
         )
 
     def theoretical_metrics(self) -> Dict[str, Any]:

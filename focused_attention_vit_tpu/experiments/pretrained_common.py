@@ -185,4 +185,5 @@ class PretrainedMixin:
             group_lrs,
             weight_decay=self.weight_decay,
             grad_clip_norm=self.grad_clip_norm,
+            mu_dtype=self._mu_dtype(),
         )

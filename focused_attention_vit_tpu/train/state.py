@@ -88,8 +88,19 @@ def make_adamw(
     learning_rate: LRLike,
     weight_decay: float = 0.05,
     grad_clip_norm: Optional[float] = None,
+    mu_dtype=None,
 ):
-    tx = optax.adamw(learning_rate=learning_rate, weight_decay=weight_decay)
+    """AdamW (reference protocol: experiments/traditional.py:152-157).
+
+    ``mu_dtype`` (TPU extension, optax-native): dtype of the FIRST moment
+    — ``jnp.bfloat16`` halves its memory (the second moment stays f32;
+    its dynamic range does not survive bf16's 8 mantissa bits). Composes
+    with FSDP: the bf16 moment leaves shard over 'data' like any other.
+    """
+    tx = optax.adamw(
+        learning_rate=learning_rate, weight_decay=weight_decay,
+        mu_dtype=mu_dtype,
+    )
     if _check_clip(grad_clip_norm) is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
     return tx
@@ -102,6 +113,7 @@ def make_grouped_optimizer(
     weight_decay: float = 0.05,
     frozen_label: str = "frozen",
     grad_clip_norm: Optional[float] = None,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
     """Per-group AdamW via optax.multi_transform.
 
@@ -119,7 +131,8 @@ def make_grouped_optimizer(
     """
     labels = _path_labels(params, label_fn)
     transforms = {
-        name: make_adamw(lr, weight_decay) for name, lr in group_lrs.items()
+        name: make_adamw(lr, weight_decay, mu_dtype=mu_dtype)
+        for name, lr in group_lrs.items()
     }
     transforms[frozen_label] = optax.set_to_zero()
     tx = optax.multi_transform(transforms, labels)
