@@ -93,8 +93,10 @@ def make_adamw(
     """AdamW (reference protocol: experiments/traditional.py:152-157).
 
     ``mu_dtype`` (TPU extension, optax-native): dtype of the FIRST moment
-    — ``jnp.bfloat16`` halves its memory (the second moment stays f32;
-    its dynamic range does not survive bf16's 8 mantissa bits). Composes
+    — ``jnp.bfloat16`` halves its memory. The second moment stays f32:
+    bf16's 7 mantissa bits round small squared-gradient accumulations to
+    zero (its exponent range equals f32's — the loss is precision, not
+    range), which distorts the per-parameter 1/sqrt(nu) scale. Composes
     with FSDP: the bf16 moment leaves shard over 'data' like any other.
     """
     tx = optax.adamw(

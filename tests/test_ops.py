@@ -169,20 +169,37 @@ class TestWindowedAttention:
                 np.asarray(hooked), np.asarray(oracle), atol=1e-5, rtol=1e-5
             )
 
-    def test_fuzz_random_geometries_match_gather(self, rng):
+    @pytest.mark.parametrize("impl", ["auto", "shift", "blocked"])
+    def test_fuzz_random_geometries_match_gather(self, impl, monkeypatch):
         """Seeded sweep over random (S, W) pairs — including S < W, S == W,
-        even W, and W == 1 — the fixed-geometry cases above can't cover.
-        The fast dispatch (dense band / shift / edge overwrite) must match
-        the gather oracle on values AND gradients at every geometry."""
+        even W, and W == 1 — the fixed-geometry cases above can't cover,
+        run once per dispatch implementation: auto (dense band-masked at
+        these S, plus the S<=2W gather degenerates), forced shift band,
+        and forced blocked tiles + exact edge-row overwrite. The roll
+        kernel has lane-granularity geometry rules of its own and keeps
+        its dedicated boundary-case sweep
+        (test_roll_band_matches_shift_fwd_and_grad). Values AND gradients
+        must match the gather oracle at every geometry.
+
+        Uses a locally seeded rng (NOT the session fixture) so a failing
+        geometry reproduces under `pytest -k`, independent of what other
+        tests consumed from the shared stream."""
         from focused_attention_vit_tpu.ops.window import (
             windowed_latent_attention,
             _gather_windowed_attention,
         )
 
+        monkeypatch.setenv("FAVIT_MHLA_IMPL", impl)
+        rng = np.random.default_rng(20260819)
         geoms = {(int(s), int(w)) for s, w in zip(
-            rng.integers(2, 90, size=14), rng.integers(1, 12, size=14)
+            rng.integers(2, 90, size=10), rng.integers(1, 12, size=10)
         )}
         geoms |= {(2, 7), (7, 7), (8, 1), (50, 2)}  # forced degenerates
+        if impl != "auto":
+            # S <= 2W dispatches to gather before the impl switch is read
+            # (window.py windowed_latent_attention) — identical to the
+            # auto run; keep the degenerates there only.
+            geoms = {(s, w) for s, w in geoms if s > 2 * w}
         b, h, d = 1, 2, 8
         for i, (s, w) in enumerate(sorted(geoms)):
             q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
@@ -192,7 +209,7 @@ class TestWindowedAttention:
             oracle = _gather_windowed_attention(q, k, v, w)
             np.testing.assert_allclose(
                 np.asarray(fast), np.asarray(oracle), atol=1e-5, rtol=1e-5,
-                err_msg=f"forward mismatch at s={s} w={w}",
+                err_msg=f"forward mismatch at impl={impl} s={s} w={w}",
             )
             if i % 3 == 0:  # grads on a third of the sweep (runtime)
                 cot = jnp.asarray(
@@ -207,7 +224,7 @@ class TestWindowedAttention:
                 for a, b_ in zip(g_fast, g_orac):
                     np.testing.assert_allclose(
                         np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4,
-                        err_msg=f"grad mismatch at s={s} w={w}",
+                        err_msg=f"grad mismatch at impl={impl} s={s} w={w}",
                     )
 
     def test_mhla_long_s_train_dropout_takes_band_path(self, rng):
