@@ -98,6 +98,11 @@ def parse_args(argv=None):
     # TPU-native extensions (supersets of the reference CLI)
     parser.add_argument("--checkpoint_dir", type=str, default=None,
                         help="Orbax checkpoint dir (per-epoch save + resume)")
+    parser.add_argument("--sync_checkpoint", action="store_true",
+                        help="Block each epoch until its checkpoint commits "
+                             "(default: async — on-device snapshot, the "
+                             "device-to-host pull and writes overlap the "
+                             "next epoch)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="Capture a jax.profiler trace of training")
     parser.add_argument("--no_detailed_metrics", action="store_true",
@@ -189,6 +194,7 @@ def _common_kwargs(args):
         dataset=args.dataset,
         seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
+        sync_checkpoint=args.sync_checkpoint,
         profile_dir=args.profile_dir,
         detailed_metrics=not args.no_detailed_metrics,
         compute_dtype=args.compute_dtype,

@@ -75,6 +75,12 @@ class ExperimentBase:
     seed: int = 42
     # TPU-native extensions (strict supersets of the reference surface):
     checkpoint_dir: Optional[str] = None  # Orbax save/resume per epoch
+    # Per-epoch checkpoint saves are asynchronous by default: an on-device
+    # snapshot is taken (milliseconds) and the device→host pull + Orbax +
+    # sidecar writes overlap the next epoch (train/checkpoint.py). True
+    # restores blocking saves (each epoch waits for its checkpoint to
+    # commit before training continues).
+    sync_checkpoint: bool = False
     profile_dir: Optional[str] = None  # jax.profiler trace capture
     detailed_metrics: bool = True  # AUC + confusion matrix at evaluate()
     compute_dtype: str = "float32"  # 'bfloat16' for MXU-native training
@@ -446,7 +452,9 @@ class ExperimentBase:
                 CheckpointManager,
             )
 
-            ckpt_mngr = CheckpointManager(self.checkpoint_dir)
+            ckpt_mngr = CheckpointManager(
+                self.checkpoint_dir, async_save=not self.sync_checkpoint
+            )
             latest = ckpt_mngr.latest_step()
             if latest is not None:
                 restored = ckpt_mngr.restore(self.state)
