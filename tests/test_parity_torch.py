@@ -205,3 +205,97 @@ class TestCrossAttentionParity:
             jm.apply({"params": params}, jnp.asarray(q), jnp.asarray(kv))
         )
         np.testing.assert_allclose(got, expect, atol=ATOL)
+
+
+def _fuzz_geometries(seed, n, mhla):
+    """Seeded random model geometries (locally seeded rng so a failing
+    id reproduces under ``pytest -k`` regardless of test order)."""
+    rng = np.random.default_rng(seed)
+    geoms = []
+    for _ in range(n):
+        patch = int(rng.choice([2, 4, 8]))
+        grid = int(rng.integers(2, 6))  # S = grid² + 1 ∈ [5, 26]
+        heads = int(rng.choice([1, 2, 4]))
+        head_dim = int(rng.choice([4, 8, 16]))
+        cfg = dict(
+            img_size=patch * grid,
+            patch_size=patch,
+            in_channels=3,
+            num_classes=int(rng.integers(2, 13)),
+            embed_dim=heads * head_dim,
+            depth=int(rng.integers(1, 4)),
+            num_heads=heads,
+            mlp_ratio=float(rng.choice([1.0, 2.0, 4.0])),
+            dropout=0.0,
+            attn_dropout=0.0,
+            embed_dropout=0.0,
+        )
+        if mhla:
+            # Odd windows only (the reference crashes on even W —
+            # SURVEY §2.1); include S < W cases, which it does define.
+            cfg["window_size"] = int(rng.choice([1, 3, 5, 7, 29]))
+            cfg["use_mhla"] = bool(rng.integers(0, 2))
+        geoms.append(cfg)
+    return geoms
+
+
+class TestGeometryFuzzParity:
+    """Converted-weights logit parity fuzzed across random geometries.
+
+    The fixed-geometry tests above pin one shape per module; this sweep
+    drives the same state_dict→convert→apply path across seeded random
+    (img, patch, D, h, depth, mlp_ratio, classes[, window]) tuples so a
+    conversion or attention bug that only bites at particular head dims,
+    token counts, or window/sequence relations cannot hide behind the
+    fixed shapes."""
+
+    @pytest.mark.parametrize(
+        "cfg",
+        _fuzz_geometries(seed=20260819, n=6, mhla=False),
+        ids=lambda c: (
+            f"img{c['img_size']}p{c['patch_size']}d{c['embed_dim']}"
+            f"h{c['num_heads']}x{c['depth']}c{c['num_classes']}"
+        ),
+    )
+    def test_vit_fuzz(self, cfg):
+        from models.vit import VisionTransformer as TorchViT
+
+        torch.manual_seed(11)
+        tm = TorchViT(**cfg).eval()
+        nchw, nhwc = _rand_images(s=cfg["img_size"], seed=11)
+        with torch.no_grad():
+            expect = tm(torch.from_numpy(nchw)).numpy()
+
+        jm = fmodels.VisionTransformer(**cfg)
+        params = reference_vit_to_flax(
+            tm.state_dict(), cfg["depth"], num_heads=cfg["num_heads"]
+        )
+        got = np.asarray(jm.apply({"params": params}, jnp.asarray(nhwc)))
+        np.testing.assert_allclose(got, expect, atol=ATOL)
+
+    @pytest.mark.parametrize(
+        "cfg",
+        _fuzz_geometries(seed=20260820, n=6, mhla=True),
+        ids=lambda c: (
+            f"img{c['img_size']}p{c['patch_size']}d{c['embed_dim']}"
+            f"h{c['num_heads']}x{c['depth']}w{c['window_size']}"
+            f"{'M' if c['use_mhla'] else 'A'}"
+        ),
+    )
+    def test_vit_mhla_fuzz(self, cfg):
+        from models.vit_mhla import VisionTransformerMHLA as TorchModel
+
+        use_mhla = cfg.pop("use_mhla")
+        torch.manual_seed(12)
+        tm = TorchModel(**cfg, use_mhla=use_mhla).eval()
+        nchw, nhwc = _rand_images(s=cfg["img_size"], seed=12)
+        with torch.no_grad():
+            expect = tm(torch.from_numpy(nchw)).numpy()
+
+        jm = fmodels.VisionTransformerMHLA(**cfg, use_mhla=use_mhla)
+        params = reference_vit_mhla_to_flax(
+            tm.state_dict(), cfg["depth"], use_mhla,
+            num_heads=cfg["num_heads"],
+        )
+        got = np.asarray(jm.apply({"params": params}, jnp.asarray(nhwc)))
+        np.testing.assert_allclose(got, expect, atol=ATOL)
