@@ -299,34 +299,43 @@ def main(argv=None):
     from focused_attention_vit_tpu import experiments as exp
 
     name = args.experiment
+    instance = None
     if name == "traditional":
-        exp.TraditionalViTExperiment(**_common_kwargs(args)).run()
+        instance = exp.TraditionalViTExperiment(**_common_kwargs(args))
     elif name == "traditional_pretrained":
-        exp.PretrainedTraditionalViTExperiment(
+        instance = exp.PretrainedTraditionalViTExperiment(
             **_common_kwargs(args), **_pretrained_kwargs(args)
-        ).run()
+        )
     elif name == "sppp":
-        exp.SPPPExperiment(**_common_kwargs(args), **_sppp_kwargs(args)).run()
+        instance = exp.SPPPExperiment(
+            **_common_kwargs(args), **_sppp_kwargs(args)
+        )
     elif name == "sppp_pretrained":
-        exp.PretrainedSPPPExperiment(
+        instance = exp.PretrainedSPPPExperiment(
             **_common_kwargs(args), **_sppp_kwargs(args), **_pretrained_kwargs(args)
-        ).run()
+        )
     elif name == "mhla_pretrained":
-        exp.PretrainedMHLAViTExperiment(
+        instance = exp.PretrainedMHLAViTExperiment(
             **_common_kwargs(args), **_pretrained_kwargs(args),
             window_size=args.window_size,
-        ).run()
+        )
     elif name == "sppp_mhla_pretrained":
-        exp.PretrainedSPPPMHLAExperiment(
+        instance = exp.PretrainedSPPPMHLAExperiment(
             **_common_kwargs(args), **_sppp_kwargs(args), **_pretrained_kwargs(args),
             window_size=args.window_size,
-        ).run()
+        )
     elif name == "cross_attention":
         exp.run_cross_attention_experiments(args)
     elif name == "multihead_cross_attention":
         exp.run_multihead_cross_attention_experiments(args)
     else:  # pragma: no cover — argparse choices guard this
         logger.error("Unknown experiment: %s", name)
+    if instance is not None:
+        instance.run()
+        if instance.preempted:
+            # 128+SIGTERM: supervisors see a termination, restart the
+            # command, and --checkpoint_dir auto-resume continues.
+            raise SystemExit(143)
 
 
 if __name__ == "__main__":

@@ -17,7 +17,8 @@ fixed by exporting both the corrected and the reference spellings.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from contextlib import nullcontext
+from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -128,6 +129,12 @@ class ExperimentBase:
     # batch-sharded over 'data'; must be a multiple of the DP size).
     # 0 disables.
     microbatch: Optional[int] = None
+
+    # Set by train() when a SIGTERM stopped the run early (preemption —
+    # train/resilience.py): the checkpoint is committed, evaluation and
+    # CSV writing are skipped, and the CLI exits 143 so a supervisor
+    # restarts the command (auto-resume continues the run).
+    preempted: bool = field(default=False, init=False)
 
     # --- subclass hooks -----------------------------------------------------
     model_display_name: str = "Traditional ViT"
@@ -484,7 +491,18 @@ class ExperimentBase:
             if ckpt_mngr is not None:
                 ckpt_mngr.save(g + 1, state)
 
-        with profiling.trace(self.profile_dir):
+        # Preemption handling (SIGTERM → checkpoint → exit 143) is only
+        # meaningful with somewhere to checkpoint; without a manager the
+        # default signal disposition stays installed.
+        interrupt = None
+        if ckpt_mngr is not None:
+            from focused_attention_vit_tpu.train.resilience import (
+                GracefulShutdown,
+            )
+
+            interrupt = GracefulShutdown()
+
+        with profiling.trace(self.profile_dir), (interrupt or nullcontext()):
             results = train_and_evaluate(
                 self.state,
                 self.train_step,
@@ -495,6 +513,27 @@ class ExperimentBase:
                 seed=self.seed,
                 epoch_offset=start_epoch,
                 epoch_callback=epoch_cb,
+                should_stop=interrupt,
+            )
+        self.preempted = bool(results.pop("interrupted", False))
+        mid_epoch = bool(results.pop("interrupted_mid_epoch", False))
+        if self.preempted and ckpt_mngr is not None:
+            g_done = start_epoch + len(results["train_losses"])
+            if mid_epoch:
+                # Mid-epoch state: checkpoint it as the next epoch — the
+                # partial epoch counts as complete (its remaining batches
+                # are skipped on resume), so trained work is never lost
+                # and the resumed run still totals `epochs` epochs.
+                g_done += 1
+                ckpt_mngr.save(g_done, results["state"])
+            print(
+                f"Preempted (SIGTERM): training stopped at epoch {g_done}"
+                + (
+                    " (checkpoint committed); rerun the same command to"
+                    " resume"
+                    if g_done > 0
+                    else " (before any training; a rerun starts fresh)"
+                )
             )
         if ckpt_mngr is not None:
             ckpt_mngr.close()
@@ -613,6 +652,12 @@ class ExperimentBase:
         self.setup()
         print("Starting training...")
         self.train()
+        if self.preempted:
+            print(
+                "Experiment preempted — skipping evaluation/results "
+                "(resume with the same command)."
+            )
+            return self.metrics
         print("Evaluating model...")
         self.evaluate()
         print("Saving results...")

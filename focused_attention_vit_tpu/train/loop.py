@@ -30,6 +30,7 @@ def _epoch_pass(
     key,
     np_rng,
     prefetcher=None,
+    should_stop=None,
 ):
     if prefetcher is not None:
         batches = prefetcher.epoch_batches()
@@ -38,7 +39,14 @@ def _epoch_pass(
             images, labels, batch_size, shuffle=True, rng=np_rng, drop_last=True
         )
     metrics_acc = []
+    completed = True
     for bi, (xb, yb) in enumerate(batches):
+        # Preemption poll (train/resilience.py): stop at a batch
+        # boundary — the in-flight state is consistent and the caller
+        # checkpoints it before exiting.
+        if should_stop is not None and should_stop():
+            completed = False
+            break
         step_key = jax.random.fold_in(key, bi)
         state, m = train_step(state, xb, yb, step_key)
         metrics_acc.append(m)
@@ -47,7 +55,12 @@ def _epoch_pass(
     loss_sum = float(sum(m["loss_sum"] for m in metrics_acc))
     correct = float(sum(m["correct"] for m in metrics_acc))
     count = float(sum(m["count"] for m in metrics_acc))
-    return state, loss_sum / max(count, 1), 100.0 * correct / max(count, 1)
+    return (
+        state,
+        loss_sum / max(count, 1),
+        100.0 * correct / max(count, 1),
+        completed,
+    )
 
 
 def evaluate(
@@ -176,6 +189,7 @@ def train_and_evaluate(
     epoch_offset: int = 0,
     log_fn: Callable[[str], None] = print,
     epoch_callback: Optional[Callable[[int, Any], None]] = None,
+    should_stop: Optional[Callable[[], bool]] = None,
 ) -> Dict[str, Any]:
     """Run the reference training protocol: per-epoch train + val pass.
 
@@ -184,6 +198,13 @@ def train_and_evaluate(
     GLOBAL epoch index and the shuffle streams are seeded per segment, so
     a resumed run does not replay the exact batch order / augmentation
     randomness its first epochs already consumed.
+
+    ``should_stop`` is polled at batch boundaries (preemption — see
+    train/resilience.py): when it returns True the loop stops, skips the
+    partial epoch's metrics/val pass, and returns with
+    ``interrupted=True`` (plus ``interrupted_mid_epoch`` when training
+    stopped inside an epoch rather than between epochs) so the caller
+    can checkpoint the returned state.
 
     Returns the training-metrics dict with the reference's keys
     (experiments/traditional.py:255-266).
@@ -221,11 +242,16 @@ def train_and_evaluate(
         )
 
     total_start = time.time()
+    interrupted = False
+    interrupted_mid_epoch = False
     try:
         for epoch in range(epochs):
+            if should_stop is not None and should_stop():
+                interrupted = True  # between epochs: state is at a boundary
+                break
             t0 = time.time()
             epoch_key = jax.random.fold_in(base_key, epoch_offset + epoch)
-            state, tr_loss, tr_acc = _epoch_pass(
+            state, tr_loss, tr_acc, completed = _epoch_pass(
                 train_step,
                 state,
                 data["train_images"],
@@ -234,7 +260,12 @@ def train_and_evaluate(
                 epoch_key,
                 np_rng,
                 prefetcher=prefetcher,
+                should_stop=should_stop,
             )
+            if not completed:
+                interrupted = True
+                interrupted_mid_epoch = True
+                break
             val = evaluate(
                 eval_step, state, data["test_images"], data["test_labels"],
                 batch_size,
@@ -263,6 +294,8 @@ def train_and_evaluate(
 
     total_training_time = time.time() - total_start
     return {
+        "interrupted": interrupted,
+        "interrupted_mid_epoch": interrupted_mid_epoch,
         "state": state,
         "train_losses": train_losses,
         "train_accs": train_accs,
