@@ -125,9 +125,33 @@ def gaussian_blur(image: jnp.ndarray, sigma: float) -> jnp.ndarray:
 
 
 def _grid_seeds(h: int, w: int, num_segments: int) -> np.ndarray:
-    """Regular-grid seed coordinates ``[R, 2]`` (y, x), like SLIC."""
-    # Choose a grid shape whose aspect matches the image and whose cell count
-    # covers num_segments, then take the first num_segments cells.
+    """Regular-grid seed coordinates ``[R, 2]`` (y, x), like SLIC.
+
+    skimage seeds sit on an isotropic grid with step
+    ``round(sqrt(h·w/R))`` starting at ``step//2``
+    (``skimage.util.regular_grid``); the cell count that grid yields can
+    differ from the R requested, in which case skimage just returns a
+    different number of segments. This framework's SPPP stack is
+    static-shape (exactly R segment slots — models/sppp_common.py), so:
+
+    - whenever the skimage grid yields EXACTLY R seeds, use it — the
+      k-means core is then bit-compatible with skimage/the oracle
+      (tests/test_ops.py TestSLICFuzz). All production geometries land
+      here (32²/224² at the R=16 default: identical seeds either way).
+    - otherwise fall back to an aspect-matched grid of exactly R cell
+      centers — a documented deviation in exchange for the fixed R the
+      on-device pipeline requires (the oracle itself would return ≠R
+      segments for these geometries, so "bit-exact" has no referent).
+    """
+    step = max(1, int(round(np.sqrt(h * w / num_segments))))
+    ys = np.arange(step // 2, h, step, dtype=np.float32)
+    xs = np.arange(step // 2, w, step, dtype=np.float32)
+    if len(ys) * len(xs) == num_segments:
+        yy, xx = np.meshgrid(ys, xs, indexing="ij")
+        return np.stack(
+            [yy.reshape(-1), xx.reshape(-1)], axis=-1
+        ).astype(np.float32)
+    # Fallback: aspect-matched grid with exactly num_segments cells.
     gh = max(1, int(round(np.sqrt(num_segments * h / w))))
     gw = int(np.ceil(num_segments / gh))
     while gh * gw < num_segments:

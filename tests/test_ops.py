@@ -1349,3 +1349,65 @@ class TestBandWeightsRematTag:
         assert not any("ops/window.py" in l for l in control.splitlines()), (
             control
         )
+
+
+class TestSLICFuzz:
+    """SLIC core fuzzed across seeded random geometries (non-square
+    images, varying segment counts, compactness/sigma extremes).
+
+    Two regimes, decided by the same rule the implementation uses
+    (`ops/slic._grid_seeds`): when skimage's isotropic regular grid
+    yields exactly R seeds, the k-means core must be BIT-EXACT vs the
+    skimage-faithful numpy oracle (this covers all production
+    geometries and most square cases); otherwise the oracle itself
+    would return a different number of segments than requested, so the
+    fixed-R fallback grid is checked structurally (labels dense in
+    [0, R), fully assigned). Locally seeded rng: a failing geometry
+    reproduces under ``pytest -k``."""
+
+    @staticmethod
+    def _skimage_grid_matches(h, w, n_seg):
+        step = max(1, int(round(np.sqrt(h * w / n_seg))))
+        ny = len(range(step // 2, h, step))
+        nx = len(range(step // 2, w, step))
+        return ny * nx == n_seg
+
+    @pytest.mark.parametrize("case", range(10))
+    def test_core_vs_oracle_random_geometry(self, case):
+        from tools.slic_numpy import slic_numpy
+
+        rng = np.random.default_rng(987_000 + case)
+        h = int(rng.integers(12, 49))
+        w = int(rng.integers(12, 49))
+        n_seg = int(rng.choice([4, 9, 16, 25, 36]))
+        compactness = float(rng.choice([0.05, 0.1, 1.0, 10.0]))
+        sigma = float(rng.choice([0.0, 1.0]))
+        img = rng.random((h, w, 3), dtype=np.float64).astype(np.float32)
+        geom = f"h={h} w={w} R={n_seg} m={compactness} sigma={sigma}"
+
+        ours = np.asarray(
+            slic_segment(
+                jnp.asarray(img[None]), num_segments=n_seg,
+                compactness=compactness, sigma=sigma,
+                enforce_connectivity=False,
+            )
+        )[0]
+        assert ours.shape == (h, w), geom
+        assert ours.min() >= 0 and ours.max() < n_seg, geom
+
+        if self._skimage_grid_matches(h, w, n_seg):
+            oracle = slic_numpy(
+                img, n_segments=n_seg, compactness=compactness,
+                sigma=sigma, enforce_connectivity=False,
+            )
+            assert (ours == oracle).all(), (
+                f"core mismatch at {geom} (skimage-grid regime): "
+                f"{(ours != oracle).mean():.3%} pixels differ"
+            )
+
+    def test_production_geometries_use_skimage_grid(self):
+        """The bit-exact regime must cover the geometries SPPP actually
+        runs at (reference models/sppp.py defaults: R=16 at 32² and
+        224²)."""
+        assert self._skimage_grid_matches(32, 32, 16)
+        assert self._skimage_grid_matches(224, 224, 16)
