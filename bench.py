@@ -248,27 +248,25 @@ def main():
     # time budget is tight.
     s3137 = {}
     if os.environ.get("BENCH_S3137", "1") == "1":
-        b4 = dict(common, patch_size=4, remat=True)
-        # scan_layers + microbatch 8 measured best for dense too, though the
-        # lever is small (14.55 vs 13.67 mono — the path is flash-bwd
-        # compute-bound, so shrinking the live set barely moves it;
-        # BASELINE.md "dense B/4 microbatch A/B").
+        # NO remat + microbatch 4: measured best for BOTH models
+        # (BASELINE.md "S=3137 attack #6"). Microbatching shrinks the
+        # live activation set enough that the no-remat step fits and
+        # compiles — and dropping remat removes the full backward
+        # recompute (incl. the band's non-matmul ops, the scheduling
+        # wall): dense 14.5 → 18.9 img/s, windowed MHLA 36.8 → 48.0.
+        b4 = dict(common, patch_size=4, remat=False)
         s3137["s3137_dense_images_per_sec_fwd_bwd"] = round(
             bench_train(
-                VisionTransformer(**b4, scan_layers=True), 32, 224,
-                microbatch=8,
+                VisionTransformer(**b4), 32, 224,
+                microbatch=4,
             ), 2
         )
-        # scan_layers + microbatch 8: the measured-best config at this
-        # geometry — 36.6 vs 33.8 (mb16) / 30.3 (monolithic) img/s
-        # (BASELINE.md "S=3137 attack #3"); the auto-microbatch rule in
-        # experiments/mhla_pretrained.py mirrors this.
         s3137["s3137_mhla_images_per_sec_fwd_bwd"] = round(
             bench_train(
                 VisionTransformerMHLA(
-                    **b4, window_size=7, use_mhla=True, scan_layers=True
+                    **b4, window_size=7, use_mhla=True
                 ),
-                32, 224, microbatch=8,
+                32, 224, microbatch=4,
             ), 2
         )
 

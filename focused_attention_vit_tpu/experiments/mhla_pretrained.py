@@ -30,13 +30,17 @@ class PretrainedMHLAViTExperiment(PretrainedMixin, ExperimentBase):
     auto_microbatch: "int | None" = 16
 
     def _auto_microbatch_value(self):
-        # Long S (shift-band path): measured best at microbatch 8 —
-        # 36.6 vs 33.8 (mb16) vs 30.3 (monolithic) img/s at S=3137 b32
-        # (BASELINE.md "S=3137 attack #3").
+        # Long S (shift-band path): measured best at microbatch 4, with
+        # and without remat — 48.0 (no-remat) / 36.9 (remat) img/s vs
+        # 46.0 / 36.6 at mb8 at S=3137 b32 (BASELINE.md "S=3137 attack
+        # #6" / "#3"). Falls back to 8 when 4 does not divide the batch
+        # (then to the generic divisibility handling).
         from focused_attention_vit_tpu.ops.window import DENSE_BAND_MAX_SEQ
 
         s = (self.img_size // self.patch_size) ** 2 + 1
-        return 8 if s > DENSE_BAND_MAX_SEQ else self.auto_microbatch
+        if s > DENSE_BAND_MAX_SEQ:
+            return 4 if self.batch_size % 4 == 0 else 8
+        return self.auto_microbatch
 
     def build_model(self):
         return VisionTransformerMHLA(

@@ -359,15 +359,20 @@ def test_mhla_pretrained_scan_layers_pp(dirs):
 
 def test_mhla_auto_microbatch_geometry_rule(dirs):
     """MHLA experiments: auto-microbatch is 16 at short S (dense band
-    path) and 8 at long S (shift band path) — BASELINE.md attack #3."""
+    path) and 4 at long S (shift band path; 8 when 4 does not divide
+    the batch) — BASELINE.md attacks #3/#6."""
     e = exp.PretrainedMHLAViTExperiment(**TINY, **dirs)  # img16/p4 → S=17
     assert e._auto_microbatch_value() == 16
     e.img_size, e.patch_size = 224, 4  # S=3137
+    assert e._auto_microbatch_value() == 4
+    e.batch_size = 124  # 124 % 4 == 0 → still 4
+    assert e._auto_microbatch_value() == 4
+    e.batch_size = 30  # not divisible by 4 → fall back to 8
     assert e._auto_microbatch_value() == 8
     e.microbatch = None
     e.mesh = None
     e.batch_size = 32
-    assert e._effective_microbatch() == 8
+    assert e._effective_microbatch() == 4
 
 
 def test_checkpoint_resume_continues_global_step(dirs, tmp_path):
