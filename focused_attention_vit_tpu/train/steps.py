@@ -114,8 +114,14 @@ def make_train_step(
                 False,  # deterministic=False
                 rngs={"dropout": dropout_key},
             )
+            # Promote-only cast: bf16 logits go to f32 for a stable CE; an
+            # f64 run (training-dynamics parity vs torch, test_parity_torch)
+            # must NOT be silently downcast — that reintroduces f32 noise
+            # which Adam's g/(sqrt(v)+eps) amplifies to O(lr) on
+            # near-zero-gradient coordinates.
             loss = optax.softmax_cross_entropy_with_integer_labels(
-                logits.astype(jnp.float32), labels
+                logits.astype(jnp.promote_types(logits.dtype, jnp.float32)),
+                labels,
             ).mean()
             return loss, logits
 
