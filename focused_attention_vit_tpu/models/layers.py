@@ -143,17 +143,33 @@ class MultiHeadAttention(nn.Module):
                     q, k, v, self.dropout, self.make_rng("dropout")
                 )
             else:
-                # Materialized-score fallback (CPU tests, short sequences).
-                d = q.shape[-1]
-                logits = jnp.einsum(
-                    "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32
-                ) * (d**-0.5)
-                weights = jax.nn.softmax(logits, axis=-1)
-                weights = nn.Dropout(self.dropout)(
-                    weights, deterministic=deterministic
-                )
-                out = jnp.einsum(
-                    "bhst,bhtd->bhsd", weights.astype(v.dtype), v
+                # Materialized-score fallback (CPU tests, short sequences),
+                # checkpointed flash-style: only q/k/v and the dropout key
+                # are saved for backward; the [B,h,S,S] softmax weights and
+                # mask are recomputed (bitwise-identically — the PRNG is
+                # keyed) instead of being stored as S²-sized residuals.
+                # Mask math is nn.Dropout's (bernoulli(keep_prob), inverted
+                # scaling); the realized mask differs from nn.Dropout's
+                # only through the rng derivation path (parent make_rng vs
+                # the child Dropout module's) — mean-identical, pinned by
+                # the expectation test.
+                rate = self.dropout
+
+                def _attn_dropout_core(q, k, v, key):
+                    d = q.shape[-1]
+                    logits = jnp.einsum(
+                        "bhsd,bhtd->bhst", q, k,
+                        preferred_element_type=jnp.float32,
+                    ) * (d**-0.5)
+                    weights = jax.nn.softmax(logits, axis=-1)
+                    keep = jax.random.bernoulli(key, 1.0 - rate, weights.shape)
+                    weights = jnp.where(keep, weights / (1.0 - rate), 0.0)
+                    return jnp.einsum(
+                        "bhst,bhtd->bhsd", weights.astype(v.dtype), v
+                    )
+
+                out = jax.checkpoint(_attn_dropout_core)(
+                    q, k, v, self.make_rng("dropout")
                 )
         elif use_fused:
             out = fused_multi_head_attention(q, k, v)

@@ -111,4 +111,15 @@ def multi_head_attention(
         from focused_attention_vit_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v)
-    return scaled_dot_product_attention(q, k, v)
+    # Flash-style memory behavior for the materialized short-S path too:
+    # under autodiff, save only q/k/v (O(S·d)) and recompute the [S, S]
+    # logits/softmax in the backward pass. Without this, JAX saves TWO
+    # S²-sized residuals per call (f32 softmax output + bf16 weights) —
+    # at the bench geometry (b128 mb16, ViT-B/16) that is ~60 MB × 12
+    # layers × 8 microbatch chunks of residual HBM traffic per step,
+    # stacked across the accumulation scan through layout-changing
+    # copies (measured: ~12 ms/step of copy-dones alone). The recompute
+    # is one extra QK^T einsum + softmax — ~1.4% of the model's matmul
+    # FLOPs. Identical numerics (same ops, same order); a no-op when not
+    # differentiated (eval).
+    return jax.checkpoint(scaled_dot_product_attention)(q, k, v)

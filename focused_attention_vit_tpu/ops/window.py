@@ -172,16 +172,26 @@ def _dense_band_attention(
     """
     b, h, s, d = q.shape
     bias = jnp.asarray(_band_log_multiplicity(s, window_size))
-    logits = jnp.einsum(
-        "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32
-    ) * (d**-0.5) + bias
-    # remat-policy tag (see _shift_banded_attention); here the saved
-    # tensor is the full masked [B,h,S,S] — meaningful only at short S.
-    weights = checkpoint_name(jax.nn.softmax(logits, axis=-1),
-                              "mhla_band_weights")
-    if weights_transform is not None:
-        weights = weights_transform(weights)
-    return jnp.einsum("bhst,bhtd->bhsd", weights.astype(v.dtype), v)
+
+    # Flash-style selective remat (see ops/attention.multi_head_attention):
+    # save only q/k/v under autodiff and recompute the [B,h,S,S]
+    # logits/softmax (and the keyed dropout mask inside
+    # ``weights_transform``, whose closed-over seed rides along as a
+    # checkpoint residual) in the backward pass — identical numerics,
+    # no S²-sized saved residuals. The bias is a closure constant.
+    def _core(q, k, v):
+        logits = jnp.einsum(
+            "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32
+        ) * (d**-0.5) + bias
+        # remat-policy tag (see _shift_banded_attention); here the saved
+        # tensor is the full masked [B,h,S,S] — meaningful only at short S.
+        weights = checkpoint_name(jax.nn.softmax(logits, axis=-1),
+                                  "mhla_band_weights")
+        if weights_transform is not None:
+            weights = weights_transform(weights)
+        return jnp.einsum("bhst,bhtd->bhsd", weights.astype(v.dtype), v)
+
+    return jax.checkpoint(_core)(q, k, v)
 
 
 @functools.lru_cache(maxsize=32)

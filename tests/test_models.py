@@ -132,6 +132,96 @@ def test_dropout_training_mode_differs():
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
 
 
+def test_attention_core_checkpoint_is_identity():
+    """The flash-style ``jax.checkpoint`` on the short-S attention cores
+    (ops/attention.multi_head_attention, ops/window._dense_band_attention,
+    and the MHA train-mode dropout branch) changes ONLY backward memory
+    behavior: forward values and gradients are bitwise the recompute of
+    the same ops. Pins (a) grads through the checkpointed dense core ==
+    grads through the raw (non-checkpointed) core, and (b) the
+    checkpointed manual-Bernoulli dropout branch == the pre-change
+    einsum + flax nn.Dropout formulation on the same make_rng stream."""
+    from flax import linen as nn
+    from focused_attention_vit_tpu.models.layers import (
+        MultiHeadAttention, dense_init,
+    )
+    from focused_attention_vit_tpu.ops import attention as attn_ops
+
+    rng = np.random.default_rng(11)
+    b, h, s, d = 2, 4, 23, 8
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        for _ in range(3)
+    )
+
+    # (a) value + grad identity of the checkpointed no-dropout core.
+    def loss_ckpt(q, k, v):
+        return attn_ops.multi_head_attention(q, k, v, use_flash=False).sum()
+
+    def loss_raw(q, k, v):
+        return attn_ops.scaled_dot_product_attention(q, k, v).sum()
+
+    (l1, g1), (l2, g2) = (
+        jax.value_and_grad(f, argnums=(0, 1, 2))(q, k, v)
+        for f in (loss_ckpt, loss_raw)
+    )
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    # (b) the train-mode materialized-dropout branch: structural twin of
+    # MultiHeadAttention whose attention core is the same manual-Bernoulli
+    # formulation WITHOUT the jax.checkpoint wrap — pins that the
+    # checkpoint is value-transparent and that the branch's mask math is
+    # nn.Dropout's (keep-prob Bernoulli from the parent make_rng, inverted
+    # scaling, applied to the softmax weights). Same submodule names/order
+    # and the same single parent-level make_rng call → identical params
+    # and key, so the comparison is bitwise. (nn.Dropout itself derives
+    # its rng on the child-module path, so its realized mask differs —
+    # mean-identical, covered by the expectation tests.)
+    class OldBranchMHA(nn.Module):
+        embed_dim: int
+        num_heads: int
+        dropout: float
+
+        @nn.compact
+        def __call__(self, x, deterministic=False):
+            hd = self.embed_dim // self.num_heads
+            qkv = nn.DenseGeneral(
+                features=(3, self.num_heads, hd), kernel_init=dense_init,
+                name="qkv",
+            )(x)
+            q, k, v = attn_ops.qkv_split_heads(qkv)
+            logits = jnp.einsum(
+                "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32
+            ) * (hd**-0.5)
+            weights = jax.nn.softmax(logits, axis=-1)
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"), 1.0 - self.dropout, weights.shape
+            )
+            weights = jnp.where(keep, weights / (1.0 - self.dropout), 0.0)
+            out = jnp.einsum("bhst,bhtd->bhsd", weights.astype(v.dtype), v)
+            out = out.transpose(0, 2, 1, 3)
+            out = nn.DenseGeneral(
+                self.embed_dim, axis=(-2, -1), kernel_init=dense_init,
+                name="proj",
+            )(out)
+            return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+    x = jnp.asarray(rng.normal(size=(2, 23, 32)).astype(np.float32))
+    new = MultiHeadAttention(embed_dim=32, num_heads=4, dropout=0.3)
+    old = OldBranchMHA(embed_dim=32, num_heads=4, dropout=0.3)
+    variables = new.init(jax.random.PRNGKey(0), x)
+    dkey = jax.random.PRNGKey(7)
+    out_new = new.apply(
+        variables, x, deterministic=False, rngs={"dropout": dkey}
+    )
+    out_old = old.apply(
+        variables, x, deterministic=False, rngs={"dropout": dkey}
+    )
+    np.testing.assert_array_equal(np.asarray(out_new), np.asarray(out_old))
+
+
 def test_mhla_dense_band_dropout_expectation():
     """The train-mode dense band-masked dropout branch (short S) is
     unbiased: averaging over many dropout keys approaches the eval-mode
