@@ -1048,6 +1048,66 @@ def test_fsdp_checkpoint_roundtrip_and_continue(tmp_path):
     assert np.isfinite(float(metrics["loss_sum"]))
 
 
+def test_elastic_restore_across_topologies(tmp_path):
+    """A checkpoint is topology-portable: Orbax stores the *logical*
+    arrays, and ``StandardRestore(template)`` lays them out per the
+    template's shardings — so a run saved on one mesh resumes on another
+    (pod-slice resize), on a single device, or vice versa. The reference
+    has no checkpointing at all (SURVEY.md §5); this pins the elastic
+    half of the TPU-native superset: 8-dev FSDP save → 4-dev FSDP
+    restore + continued training, mesh → single-device, and
+    single-device → mesh, all bit-equal."""
+    from focused_attention_vit_tpu.parallel import state_shardings
+    from focused_attention_vit_tpu.train.checkpoint import CheckpointManager
+
+    mesh8, model, params, x_u8, y = _setup(tp=1)
+    state8 = shard_state(_fresh_state(model, params), mesh8, fsdp=True)
+    sh8 = state_shardings(state8, mesh8, fsdp=True)
+    step8 = make_train_step(16, augment=True, mesh=mesh8, state_sharding=sh8)
+    state8, _ = step8(state8, x_u8, y, jax.random.PRNGKey(0))
+
+    m = CheckpointManager(str(tmp_path / "ckpt"))
+    m.save(1, state8)
+    want = jax.tree_util.tree_map(np.asarray, state8.params)
+
+    def _check(restored_params):
+        for (k1, a), (k2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(want)[0],
+            jax.tree_util.tree_flatten_with_path(restored_params)[0],
+        ):
+            assert k1 == k2
+            np.testing.assert_array_equal(a, np.asarray(b))
+
+    # (a) restore onto a SMALLER mesh (8 → 4 devices) and train on.
+    mesh4 = make_mesh(4)
+    tmpl4 = shard_state(_fresh_state(model, params), mesh4, fsdp=True)
+    restored4 = m.restore(tmpl4)
+    _check(restored4.params)
+    leaf = jax.tree_util.tree_leaves(restored4.params)[0]
+    assert len(leaf.sharding.mesh.devices.flatten()) == 4
+    restored4 = shard_state(restored4, mesh4, fsdp=True)
+    sh4 = state_shardings(restored4, mesh4, fsdp=True)
+    step4 = make_train_step(16, augment=True, mesh=mesh4, state_sharding=sh4)
+    x4 = jax.device_put(x_u8, NamedSharding(mesh4, P("data")))
+    y4 = jax.device_put(y, NamedSharding(mesh4, P("data")))
+    restored4, metrics = step4(restored4, x4, y4, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss_sum"]))
+
+    # (b) mesh checkpoint → plain single-device template.
+    single = m.restore(_fresh_state(model, params))
+    _check(single.params)
+
+    # (c) single-device checkpoint → mesh template (scale-up resume).
+    m.save(2, single)
+    back_on_mesh = m.restore(
+        shard_state(_fresh_state(model, params), mesh8, fsdp=True), step=2
+    )
+    m.close()
+    _check(back_on_mesh.params)
+    leaf = jax.tree_util.tree_leaves(back_on_mesh.params)[0]
+    assert len(leaf.sharding.mesh.devices.flatten()) == 8
+
+
 def test_fsdp_rules_compose_with_scan_and_pp():
     """FSDP on scan-form stacked leaves and under a 'stage' (PP) mesh:
     the depth axis keeps its PP owner, TP dims keep 'model', and 'data'
