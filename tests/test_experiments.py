@@ -375,6 +375,57 @@ def test_mhla_auto_microbatch_geometry_rule(dirs):
     assert e._effective_microbatch() == 4
 
 
+def test_elastic_resume_across_mesh_sizes(dirs, tmp_path):
+    """Auto-resume is topology-elastic end-to-end through the experiment
+    pipeline: a segment trained on an 8-device FSDP mesh resumes on a
+    4-device FSDP mesh (the restore template is built on the CURRENT
+    mesh, so Orbax lays the stored logical arrays out for it), and a
+    final single-device segment restores the mesh-saved checkpoint too
+    (pod-slice resize / scale-down resume, the CLI-level counterpart of
+    tests/test_parallel.py::test_elastic_restore_across_topologies)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    ckpt = str(tmp_path / "ckpt")
+    e1 = exp.TraditionalViTExperiment(
+        **TINY, **dirs, checkpoint_dir=ckpt, num_devices=8, fsdp=True
+    )
+    e1.run()
+    from focused_attention_vit_tpu.train.checkpoint import CheckpointManager
+
+    m = CheckpointManager(ckpt)
+    assert m.latest_step() == 1
+    m.close()
+
+    e2 = exp.TraditionalViTExperiment(
+        **dict(TINY, epochs=2), **dirs, checkpoint_dir=ckpt,
+        num_devices=4, fsdp=True,
+    )
+    e2.run()
+    m = CheckpointManager(ckpt)
+    assert m.latest_step() == 2
+    m.close()
+    # the resumed segment trained exactly 1 further epoch on the new mesh
+    assert len(e2.metrics["training"]["train_losses"]) == 1
+    leaf = jax.tree_util.tree_leaves(e2.state.params)[0]
+    assert len(leaf.sharding.mesh.devices.flatten()) == 4
+
+    # Scale-down to a single device: nothing left to train, the restored
+    # model's val metrics must fill the CSV columns (same contract as
+    # test_checkpoint_resume_continues_global_step's third segment).
+    e3 = exp.TraditionalViTExperiment(
+        **dict(TINY, epochs=2), **dirs, checkpoint_dir=ckpt
+    )
+    e3.run()
+    assert len(e3.metrics["training"]["train_losses"]) == 0
+    assert e3.metrics["training"]["final_val_loss"] > 0.0
+    assert abs(
+        e3.metrics["training"]["final_val_loss"]
+        - e2.metrics["training"]["val_losses"][-1]
+    ) < 1e-5
+
+
 def test_checkpoint_resume_continues_global_step(dirs, tmp_path):
     """Auto-resume continues the GLOBAL checkpoint numbering: a 2-epoch
     run leaves steps {1,2}; rerunning the same config at 4 epochs resumes
