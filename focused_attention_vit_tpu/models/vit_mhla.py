@@ -152,25 +152,33 @@ class VisionTransformerMHLA(nn.Module):
             )
 
             x = token_sharding_constraint(x, self.sp_mesh, self.sp_axis)
-        if self.pp_mesh is not None and not self.is_initializing():
-            from focused_attention_vit_tpu.models.layers import (
-                apply_pipelined_blocks,
-            )
+        # Under remat_policy='band_weights' the short-S dense band must
+        # skip its inner flash-style checkpoint so the tagged weights stay
+        # visible to the outer remat policy (ops/window.saving_band_weights).
+        from focused_attention_vit_tpu.ops.window import saving_band_weights
 
-            x = apply_pipelined_blocks(
-                self,
-                SwitchableTransformerBlock(
-                    **self.block_kwargs,
-                    parent=None,  # unbound template, applied functionally
-                ),
-                x,
-                deterministic,
-            )
-        elif self.scan_layers:
-            x, _ = self.blocks_scan(x, deterministic)
-        else:
-            for block in self.blocks:
-                x = block(x, deterministic)  # positional for nn.remat
+        with saving_band_weights(
+            self.remat and self.remat_policy == "band_weights"
+        ):
+            if self.pp_mesh is not None and not self.is_initializing():
+                from focused_attention_vit_tpu.models.layers import (
+                    apply_pipelined_blocks,
+                )
+
+                x = apply_pipelined_blocks(
+                    self,
+                    SwitchableTransformerBlock(
+                        **self.block_kwargs,
+                        parent=None,  # unbound template, applied functionally
+                    ),
+                    x,
+                    deterministic,
+                )
+            elif self.scan_layers:
+                x, _ = self.blocks_scan(x, deterministic)
+            else:
+                for block in self.blocks:
+                    x = block(x, deterministic)  # positional for nn.remat
         x = self.norm(x)
         return x[:, 0]
 

@@ -35,6 +35,8 @@ tensor and is opt-in (measured slower on v5e — BASELINE.md roofline).
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 import os
 
@@ -42,6 +44,28 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
+
+# Trace-time switch set by models running under remat_policy='band_weights'
+# (models/vit_mhla.py): the short-S dense band then skips its inner
+# flash-style jax.checkpoint so the tagged softmax weights stay visible to
+# the OUTER nn.remat's save_only_these_names policy (an inner checkpoint
+# would hide the tag and silently recompute the weights, making the knob a
+# no-op on this path). Trace-time only — the resulting program is cached
+# per model config, and remat_policy is part of the model.
+_SAVE_BAND_WEIGHTS = contextvars.ContextVar(
+    "favit_save_band_weights", default=False
+)
+
+
+@contextlib.contextmanager
+def saving_band_weights(enabled: bool):
+    """Mark the dynamic extent of a model trace whose remat policy saves
+    the ``mhla_band_weights``-tagged tensors (see ``_SAVE_BAND_WEIGHTS``)."""
+    tok = _SAVE_BAND_WEIGHTS.set(bool(enabled))
+    try:
+        yield
+    finally:
+        _SAVE_BAND_WEIGHTS.reset(tok)
 
 
 @functools.lru_cache(maxsize=64)
@@ -191,6 +215,10 @@ def _dense_band_attention(
             weights = weights_transform(weights)
         return jnp.einsum("bhst,bhtd->bhsd", weights.astype(v.dtype), v)
 
+    if _SAVE_BAND_WEIGHTS.get():
+        # remat_policy='band_weights': leave the tag visible to the outer
+        # nn.remat (an inner checkpoint would hide it and recompute).
+        return _core(q, k, v)
     return jax.checkpoint(_core)(q, k, v)
 
 

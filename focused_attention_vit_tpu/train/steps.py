@@ -161,12 +161,25 @@ def make_train_step(
                 gacc = jax.tree.map(jnp.add, gacc, g)
                 return (gacc, lacc + ls, cacc + co), None
 
+            # Accumulate in promote(param_dtype, f32): f32 for the
+            # production configs, f64 when the whole run is f64 (the
+            # training-dynamics parity harness) — a forced-f32 carry
+            # would make lax.scan reject the f64 chunk grads/loss at
+            # trace time (carry dtype mismatch).
+            acc_t = jnp.promote_types(
+                jax.tree_util.tree_leaves(state.params)[0].dtype,
+                jnp.float32,
+            )
             zeros = jax.tree.map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+                lambda p: jnp.zeros(p.shape, jnp.promote_types(p.dtype, jnp.float32)),
+                state.params,
             )
             (gsum, loss_sum, correct), _ = jax.lax.scan(
                 chunk,
-                (zeros, jnp.float32(0), jnp.int32(0)),
+                # jnp.int_ = the default integer dtype (int32 normally,
+                # int64 under x64 — what the chunk's correct-count sum
+                # produces, so the carry types agree either way).
+                (zeros, jnp.zeros((), acc_t), jnp.zeros((), jnp.int_)),
                 (imgs, labs, jnp.arange(n)),
             )
             grads = jax.tree.map(lambda g: g / n, gsum)

@@ -259,6 +259,70 @@ def test_microbatch_accumulation_matches_single_batch():
     assert max(jax.tree.leaves(diffs)) < 1e-4  # Adam-amplified float reorder
 
 
+def test_f64_microbatch_step_traces_and_matches_monolithic(tmp_path):
+    """Gradient accumulation composes with a float64 run (the
+    training-dynamics parity harness): the scan carry accumulators take
+    promote(param_dtype, f32), so an f64 step with microbatch set traces
+    (a forced-f32 carry made lax.scan reject the f64 chunk grads at
+    trace time) and reproduces the monolithic step's update to f64
+    precision. Subprocess: enabling x64 is process-global."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = tmp_path / "mb64.py"
+    script.write_text(textwrap.dedent("""
+        import numpy as np
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        import jax.numpy as jnp
+        from focused_attention_vit_tpu import models as fmodels
+        from focused_attention_vit_tpu.train.state import (
+            make_adamw, create_train_state)
+        from focused_attention_vit_tpu.train.steps import make_train_step
+
+        TINY = dict(img_size=16, patch_size=4, num_classes=5,
+                    embed_dim=32, depth=1, num_heads=2)
+        model = fmodels.VisionTransformer(**TINY, dtype=jnp.float64)
+        rng = np.random.default_rng(0)
+        u8 = jnp.asarray(rng.integers(0, 256, size=(8, 16, 16, 3)),
+                         dtype=jnp.uint8)
+        y = jnp.asarray(rng.integers(0, 5, size=(8,)))
+
+        def fresh():
+            st = create_train_state(
+                model, jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
+                make_adamw(1e-3, 0.05))
+            return st.replace(params=jax.tree.map(
+                lambda p: p.astype(jnp.float64), st.params))
+
+        kw = dict(augment=False, mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0),
+                  compute_dtype=jnp.float64)
+        key = jax.random.PRNGKey(3)
+        s_mono, _ = make_train_step(16, **kw)(fresh(), u8, y, key)
+        s_mb, _ = make_train_step(16, microbatch=4, **kw)(fresh(), u8, y, key)
+        worst = max(
+            float(jnp.max(jnp.abs(a - b)))
+            for a, b in zip(jax.tree.leaves(s_mono.params),
+                            jax.tree.leaves(s_mb.params)))
+        assert jax.tree.leaves(s_mb.params)[0].dtype == jnp.float64
+        print("WORST", worst)
+        assert worst < 1e-9, worst
+        print("MB64 OK")
+    """))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True,
+        timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "MB64 OK" in out.stdout
+
+
 def test_effective_microbatch_rules(dirs):
     data_dir, results_dir = dirs["data_dir"], dirs["results_dir"]
     e = exp.TraditionalViTExperiment(

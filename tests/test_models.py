@@ -419,3 +419,38 @@ def test_remat_policy_band_weights_grads_identical(scan):
         fmodels.VisionTransformerMHLA(**kw, remat_policy="bogus").init(
             jax.random.PRNGKey(0), x
         )
+
+
+def test_band_weights_policy_saves_dense_band_residual():
+    """remat_policy='band_weights' must actually SAVE the tagged softmax
+    weights on the short-S dense band path, not just not-crash: the
+    band's inner flash-style checkpoint (attack #7) would hide the
+    checkpoint_name tag from the outer nn.remat policy and silently
+    recompute, so models trace the band with the inner checkpoint
+    disabled under this policy (ops/window.saving_band_weights). Pinned
+    by inspecting the fwd→bwd residuals: the f32 [B,h,S,S] weights are a
+    residual under the policy and absent under plain full remat."""
+    try:
+        from jax._src.ad_checkpoint import saved_residuals
+    except ImportError:
+        pytest.skip("saved_residuals not available in this jax")
+
+    kw = dict(**TINY, window_size=5, use_mhla=True, remat=True)
+    x = _images(2)
+
+    def residual_shapes(model, params):
+        def loss(p):
+            return model.apply({"params": p}, x).sum()
+
+        return [
+            getattr(r[0], "shape", None)
+            for r in saved_residuals(loss, params)
+        ]
+
+    m0 = fmodels.VisionTransformerMHLA(**kw)
+    params = m0.init(jax.random.PRNGKey(0), x)["params"]
+    s = m0.num_patches + 1
+    sxs = (2, TINY["num_heads"], s, s)
+    assert sxs not in residual_shapes(m0, params)
+    m1 = fmodels.VisionTransformerMHLA(**kw, remat_policy="band_weights")
+    assert sxs in residual_shapes(m1, params)
