@@ -419,37 +419,6 @@ class MultiHeadLatentAttention(nn.Module):
             name="latent_proj",
         )
 
-        if (
-            attention_mask is None
-            and long_s
-            and (self.dropout == 0.0 or deterministic)
-            and os.environ.get("FAVIT_MHLA_NSH", "0") == "1"
-        ):
-            # A/B path (opt-in): the qkv matmul's natural [B, S, h, d]
-            # layout end-to-end. Measured at S=3137: saves ~55 ms of head
-            # transposes but the [B,S,h,W] band ops are worse minor-dim
-            # shapes — net loss vs BHSD (BASELINE.md round-3 bisect).
-            qkv = nn.DenseGeneral(
-                features=(3, self.num_heads, head_dim),
-                kernel_init=dense_init,
-                dtype=self.dtype,
-                name="qkv",
-            )(x)
-            q_n, k_n, v_n = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-            k_n = latent(k_n)
-            v_n = latent(v_n)
-            out = window_ops.windowed_latent_attention_nsh(
-                q_n, k_n, v_n, self.window_size
-            )
-            out = nn.DenseGeneral(
-                self.embed_dim,
-                axis=(-2, -1),
-                kernel_init=dense_init,
-                dtype=self.dtype,
-                name="proj",
-            )(out)
-            return nn.Dropout(self.dropout)(out, deterministic=deterministic)
-
         if long_s:
             # Long S: einsum projections straight into/out of [B, h, S, d]
             # — no [B,S,3,h,d]→[3,B,h,S,d] relayout (param-compatible with
@@ -518,31 +487,32 @@ class MultiHeadLatentAttention(nn.Module):
         elif (
             self.dropout > 0.0
             and not deterministic
-            and attention_mask is None
             and s > 2 * self.window_size
         ):
-            # Long-S train-mode dropout (S > DENSE_BAND_MAX_SEQ): the
-            # halo-shift band with inverted dropout applied to its
-            # [B,h,W,S] window weights — one Bernoulli per window slot
-            # including duplicated edge slots, exactly the reference's
-            # dropout on the [B,h,S,W] weights (models/mhla.py:146-147).
-            # Replaces the gather formulation (7× K/V materialization +
-            # scatter backward) that made S=3137 training pay ~30% over
-            # the band (BASELINE.md round 3).
+            # Banded-S train-mode dropout (masked or not): the halo-shift
+            # band with inverted dropout applied to its [B,h,W,S] window
+            # weights — one Bernoulli per window slot including duplicated
+            # edge slots, exactly the reference's dropout on the
+            # [B,h,S,W] weights (models/mhla.py:146-147). A mask rides the
+            # band layout too (ops/window._banded_mask), so the gather
+            # formulation's 7× K/V materialization + scatter backward is
+            # never paid at long S — masked or unmasked (the masked
+            # gather path cost ~2.2 GB/tensor at S=3137 b32 f32).
             drop = nn.Dropout(self.dropout)
             out = window_ops.windowed_latent_attention(
                 q,
                 k,
                 v,
                 self.window_size,
+                attention_mask,
                 weights_transform=lambda wts: drop(
                     wts, deterministic=deterministic
                 ),
             )
         elif self.dropout > 0.0 and not deterministic:
-            # Train-mode attention-weight dropout on the [B,h,S,W] window
-            # weights (reference: models/mhla.py:146-147) — gather
-            # formulation (masked attention or tiny S), sharing
+            # Train-mode attention-weight dropout at tiny S (≤ 2W, where
+            # the halo construction degenerates): gather formulation with
+            # per-slot dropout on the [B,h,S,W] weights, sharing
             # ops/window's single definition via the weights_transform
             # hook.
             drop = nn.Dropout(self.dropout)
@@ -837,15 +807,25 @@ def resolve_remat_policy(policy):
 
     ``'band_weights'`` saves the MHLA band's post-softmax weights — tagged
     ``mhla_band_weights`` in every band formulation (ops/window: shift,
-    dense band-masked, gather, blocked, nsh, ds; parallel/sequence.py's
-    halo band) — across fwd→bwd so the backward pass skips recomputing
-    the band logits + softmax. Memory cost depends on the active path:
-    f32 [B,h,W,S] per layer (~34 MB at ViT-B/4 b32) on the long-S shift
+    dense band-masked, gather, ds; parallel/sequence.py's halo band) —
+    across fwd→bwd so the backward pass skips recomputing the band
+    logits + softmax. Memory cost depends on the active path: f32
+    [B,h,W,S] per layer (~34 MB at ViT-B/4 b32) on the long-S shift
     band, the full masked [B,h,S,S] on the short-S dense band. Everything
     else still remats. Measured neutral at the S=3137 bench config
     (BASELINE.md) — a memory/geometry tuning knob, not a default. The
     Pallas roll band (FAVIT_MHLA_IMPL=roll) manages its own residuals via
     custom_vjp and ignores this policy.
+
+    Contract for custom callers: the short-S dense band wraps its core in
+    an inner flash-style ``jax.checkpoint`` that would hide the
+    ``mhla_band_weights`` tag from any OUTER checkpoint's
+    ``save_only_these_names`` policy, silently turning this knob into a
+    no-op. Models that apply this policy (``VisionTransformerMHLA``)
+    therefore trace under ``ops.window.saving_band_weights(True)``, which
+    skips the inner checkpoint; any new caller that wraps
+    ``windowed_latent_attention`` in its own band_weights-policy
+    checkpoint must do the same.
     """
     if policy in (None, "full"):
         return None

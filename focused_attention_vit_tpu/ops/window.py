@@ -222,94 +222,6 @@ def _dense_band_attention(
     return jax.checkpoint(_core)(q, k, v)
 
 
-@functools.lru_cache(maxsize=32)
-def _blocked_band_bias(seq_len: int, window_size: int, block: int,
-                       halo: int) -> np.ndarray:
-    """Static ``[n_tiles, T, T+2·halo]`` bias: the ``[S, S]`` log-
-    multiplicity matrix cut into query tiles with key halo; out-of-range
-    keys (beyond the sequence) are ``-inf``."""
-    full = _band_log_multiplicity(seq_len, window_size)  # [S, S]
-    n = -(-seq_len // block)
-    ext = block + 2 * halo
-    out = np.full((n, block, ext), -np.inf, np.float32)
-    for i in range(n):
-        q0 = i * block
-        rows = slice(q0, min(q0 + block, seq_len))
-        k0 = q0 - halo
-        klo, khi = max(0, k0), min(seq_len, k0 + ext)
-        out[i, : rows.stop - q0, klo - k0 : khi - k0] = full[rows, klo:khi]
-        # Padded query rows (beyond S in the last tile) must not softmax
-        # over an all--inf row: NaN weights there would poison dk/dv in
-        # the backward pass even though the rows themselves are sliced
-        # off. Pin them to key slot 0 (finite; zero cotangent → zero
-        # gradient contribution).
-        out[i, rows.stop - q0 :, 0] = 0.0
-    return out
-
-
-def _blocked_band_attention(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, window_size: int,
-    block: "int | None" = None,
-) -> jnp.ndarray:
-    """Windowed attention as *blocked* dense attention on the MXU.
-
-    Query tiles of T rows attend their ``[iT-halo, iT+T+halo)`` key slab
-    (halo = W//2), so logits are ``n`` batched ``[T, T+2·halo]`` matmuls —
-    the tile-band formulation of ops/mhla_kernel_v4 expressed in XLA,
-    where Mosaic's alignment rules can't interfere. The static per-tile
-    log-multiplicity bias (see :func:`_band_log_multiplicity`) gives
-    interior rows the reference's duplicated-edge-key softmax semantics.
-    NOT exact standalone: the first/last W//2 *global* rows duplicate
-    keys S-1/0 from outside their tile's slab, so this function's edge
-    rows are wrong on their own — reach it through
-    :func:`windowed_latent_attention` (impl='blocked'), whose edge-row
-    overwrite repairs them (pinned by TestWindowedAttention).
-    Work is O(S·(T+2·halo)·d) ≈ O(S·T·d) instead of dense
-    O(S²·d); K/V are read ~(1+2·halo/T)× instead of the shift path's W×.
-    """
-    b, h, s, d = q.shape
-    hw = window_size // 2
-    if block is None:
-        block = int(os.environ.get("FAVIT_MHLA_BLOCK", "64"))
-    # t multiple of 8, ≥ 2·halo (the slab construction slices 2·halo rows
-    # out of the next tile), ≤ padded S.
-    t = max(-(-2 * hw // 8) * 8, min(block, -(-s // 8) * 8))
-    n = -(-s // t)
-    sp = n * t
-    ext = t + 2 * hw
-
-    bias = jnp.asarray(_blocked_band_bias(s, window_size, t, hw))
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sp - s), (0, 0)))
-    qt = qp.reshape(b, h, n, t, d)
-
-    # Key/value slabs per tile: rows [iT-halo, iT+T+halo) of the padded
-    # sequence, built from PURE reshapes/slices/concat so the backward
-    # pass is contiguous pad-adds — a gather here would scatter-add into
-    # the full K/V in the backward pass (the cost that sank the take-based
-    # version, BASELINE.md round-3 bisect). With P = pad(k) of length
-    # sp + t (left pad halo):
-    #   slab_i = P[iT : iT+T+2·halo]
-    #          = P[0:sp].reshape(n,T)[i]  ++  P[T:T+sp].reshape(n,T)[i,:2h]
-    def window_slabs(x):
-        p_ = jnp.pad(x, ((0, 0), (0, 0), (hw, sp + t - hw - s), (0, 0)))
-        core = jax.lax.slice_in_dim(p_, 0, sp, axis=2).reshape(b, h, n, t, d)
-        nxt = jax.lax.slice_in_dim(p_, t, t + sp, axis=2).reshape(
-            b, h, n, t, d
-        )[:, :, :, : 2 * hw]
-        return jnp.concatenate([core, nxt], axis=3)  # [B, h, n, ext, d]
-
-    kt = window_slabs(k)
-    vt = window_slabs(v)
-
-    logits = jnp.einsum(
-        "bhntd,bhned->bhnte", qt, kt, preferred_element_type=jnp.float32
-    ) * (d**-0.5) + bias
-    weights = checkpoint_name(jax.nn.softmax(logits, axis=-1),
-                              "mhla_band_weights").astype(v.dtype)
-    out = jnp.einsum("bhnte,bhned->bhntd", weights, vt)
-    return out.reshape(b, h, sp, d)[:, :, :s]
-
-
 def _halo_pad(x: jnp.ndarray, window_size: int, axis: int) -> jnp.ndarray:
     """Pad ``axis`` with the reference's edge halo: ``hw`` copies of row
     S-1 on the left and ``w-1-hw`` copies of row 0 on the right.
@@ -334,14 +246,37 @@ def _halo_pad(x: jnp.ndarray, window_size: int, axis: int) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=axis) if len(parts) > 1 else x
 
 
+def _banded_mask(attention_mask: jnp.ndarray, seq_len: int,
+                 window_size: int) -> jnp.ndarray:
+    """Gather a dense ``[B, S, S]`` attention mask into the shift band's
+    ``[B, W, S]`` layout: entry ``(o, i)`` is the mask bit for query ``i``
+    against the key the band's offset ``o`` reads — halo-clamped exactly
+    like :func:`_halo_pad` clamps K/V, so duplicated edge slots see the
+    mask bit of the duplicated key (reference: models/mhla.py:136-143
+    gathers the mask per window slot the same way).
+
+    The gather here is fine where a K/V gather is not: masks carry no
+    gradient, so there is no scatter in the backward pass, and the result
+    is O(S·W) bytes — never the ``[B, h, S, W, d]`` window tensor.
+    """
+    s, w = seq_len, window_size
+    mp = _halo_pad(attention_mask, w, axis=2)  # [B, S, S+W-1] along keys
+    # Padded key column read by (query i, offset o) is i + o.
+    col = (np.arange(s, dtype=np.int32)[:, None]
+           + np.arange(w, dtype=np.int32)[None, :])  # [S, W]
+    mask_win = jnp.take_along_axis(mp, jnp.asarray(col)[None], axis=2)
+    return mask_win.transpose(0, 2, 1)  # [B, W, S]
+
+
 def _shift_banded_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     window_size: int,
     weights_transform=None,
+    attention_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Shift-based banded attention — no window tensor, no gathers.
+    """Shift-based banded attention — no window tensor, no K/V gathers.
 
     For interior rows the window is a pure diagonal band: offset o reads
     key row i-hw+o, so scores come from W shifted elementwise
@@ -360,6 +295,11 @@ def _shift_banded_attention(
         reference models/mhla.py:146-147 — one Bernoulli per window slot,
         duplicated edge slots drawn independently, exactly like the
         reference's ``[B, h, S, W]`` dropout).
+      attention_mask: optional ``[B, S, S]`` mask; zero entries are set to
+        the dtype minimum pre-softmax (reference: models/mhla.py:136-143),
+        gathered into the band layout by :func:`_banded_mask` — this is
+        the long-S masked path, O(S·W) where the gather formulation
+        materializes O(S·W·d) K/V windows plus a scatter backward.
     """
     b, h, s, d = q.shape
     w = window_size
@@ -385,6 +325,11 @@ def _shift_banded_attention(
         axis=2,
     ) * (d**-0.5)  # [B, h, W, S]
 
+    if attention_mask is not None:
+        mask_win = _banded_mask(attention_mask, s, w)[:, None]  # [B,1,W,S]
+        logits = jnp.where(mask_win == 0, jnp.finfo(logits.dtype).min,
+                           logits)
+
     weights = jax.nn.softmax(logits, axis=2)
     # Named for remat policies: under remat_policy='band_weights' the
     # model's nn.remat saves this tensor across fwd→bwd (f32 [B,h,W,S],
@@ -401,47 +346,6 @@ def _shift_banded_attention(
         # f32 (weights are f32; V upcast fuses into the multiply).
         jax.lax.slice_in_dim(weights, o, o + 1, axis=2).reshape(b, h, s, 1)
         * jax.lax.dynamic_slice_in_dim(vp, o, s, axis=2).astype(jnp.float32)
-        for o in range(w)
-    )
-    return out.astype(q.dtype)
-
-
-def _shift_banded_attention_nsh(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, window_size: int
-) -> jnp.ndarray:
-    """Shift-banded attention in the transpose-free ``[B, S, h, d]``
-    layout (minor-head).
-
-    At very long S (reference default S=3137) the ``[B,S,3,h,d] →
-    [3,B,h,S,d]`` head transposes around attention cost more than the
-    band math itself (~240 ms/step at ViT-B/4 b32, BASELINE.md round-3
-    bisect). Every op here keeps the natural qkv-matmul layout: the W
-    shifted multiply-reduces contract the minor ``d`` axis, the softmax
-    runs over the stacked offset axis, and the output is already in the
-    ``[B, S, h, d]`` shape the head-merging output projection consumes.
-    Exact everywhere via the reference-edge halo pad (:func:`_halo_pad`).
-    """
-    b, s, h, d = q.shape
-    w = window_size
-    qf = q.astype(jnp.float32)
-
-    kp = _halo_pad(k, w, axis=1)
-    vp = _halo_pad(v, w, axis=1)
-
-    logits = jnp.stack(
-        [
-            (qf * jax.lax.dynamic_slice_in_dim(kp, o, s, axis=1)
-             .astype(jnp.float32)).sum(-1)
-            for o in range(w)
-        ],
-        axis=-1,
-    ) * (d**-0.5)  # [B, S, h, W]
-
-    weights = checkpoint_name(jax.nn.softmax(logits, axis=-1),
-                              "mhla_band_weights")  # remat-policy tag
-    out = sum(
-        weights[..., o][..., None]
-        * jax.lax.dynamic_slice_in_dim(vp, o, s, axis=1).astype(jnp.float32)
         for o in range(w)
     )
     return out.astype(q.dtype)
@@ -527,35 +431,6 @@ def windowed_latent_attention_ds(
     return _shift_banded_attention_ds(q, k, v, w, weights_transform)
 
 
-def windowed_latent_attention_nsh(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    window_size: int,
-) -> jnp.ndarray:
-    """Window-local attention on ``[B, S, h, d]`` tensors (minor-head,
-    transpose-free — the long-S production layout; see
-    :func:`_shift_banded_attention_nsh`). Numerics match
-    :func:`windowed_latent_attention` exactly, including the
-    duplicated-edge-key softmax multiplicity on the first/last W//2 rows.
-    """
-    b, s, h, d = q.shape
-    w = window_size
-    hw = w // 2
-
-    if s <= 2 * w:
-        out = _gather_windowed_attention(
-            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3), w,
-        )
-        return out.transpose(0, 2, 1, 3)
-
-    # The halo-padded shift band is exact everywhere, including the
-    # reference's duplicated-edge-key softmax multiplicity (see
-    # :func:`_halo_pad`) — no edge-row fixup.
-    return _shift_banded_attention_nsh(q, k, v, w)
-
-
 def windowed_latent_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -573,19 +448,32 @@ def windowed_latent_attention(
     their multiplicity.
 
     Fast path: halo-padded shift-banded compute (O(S·W·d) reads, no
-    [S, W, d] materialization, exact edge rule built into the pad);
-    optional Pallas kernel (ops/mhla_kernel_v4.py) via env. Falls back to
-    the gather formulation for masked attention or tiny sequences.
+    [S, W, d] materialization, exact edge rule built into the pad) —
+    also the masked and weights-transformed path at banded S; optional
+    Pallas kernels (roll / archival v4) via ``FAVIT_MHLA_IMPL``. Falls
+    back to the gather formulation only for tiny sequences (S ≤ 2W,
+    where the halo construction degenerates).
+
+    Remat-policy contract: every formulation tags its softmax weights
+    ``mhla_band_weights`` for ``remat_policy='band_weights'``. A caller
+    that wraps this op in its OWN ``jax.checkpoint`` with that policy
+    must trace inside :func:`saving_band_weights` — otherwise the short-S
+    dense band's inner flash-style checkpoint hides the tag from the
+    outer policy and the knob silently becomes a no-op (the models'
+    ``VisionTransformerMHLA.__call__`` does this; see
+    ``models.layers.resolve_remat_policy``).
 
     Args:
-      attention_mask: optional ``[B, S, S]`` mask; entries gathered per
-        window and zero entries filled with -inf
-        (reference: models/mhla.py:136-143).
+      attention_mask: optional ``[B, S, S]`` mask; zero entries filled
+        with the dtype minimum pre-softmax
+        (reference: models/mhla.py:136-143). At banded S the mask rides
+        the shift band via :func:`_banded_mask` (O(S·W), no-gradient
+        gather) — the ``[B, h, S, W, d]`` window tensor is never
+        materialized at any S.
       weights_transform: optional callable on the ``[B, h, W, S]`` softmax
         weights (attention-weight dropout for long-S training — see
-        :func:`_shift_banded_attention`). Only valid without a mask at
-        banded S; forces the shift path so the transform is never
-        silently dropped.
+        :func:`_shift_banded_attention`). Requires banded S (S > 2W);
+        forces the shift path so the transform is never silently dropped.
 
     Returns:
       ``[B, h, S, d]`` attention output (pre output-projection).
@@ -594,16 +482,20 @@ def windowed_latent_attention(
     w = window_size
     hw = w // 2
 
-    if attention_mask is not None or s <= 2 * w:
+    if s <= 2 * w:
         if weights_transform is not None:
             raise ValueError(
-                "weights_transform requires attention_mask=None and "
-                f"S > 2*W (got S={s}, W={w})"
+                f"weights_transform requires S > 2*W (got S={s}, W={w})"
             )
         return _gather_windowed_attention(q, k, v, w, attention_mask)
 
-    if weights_transform is not None:
-        return _shift_banded_attention(q, k, v, w, weights_transform)
+    if attention_mask is not None or weights_transform is not None:
+        # Masked and/or transformed: the shift band handles both exactly
+        # (mask gathered into the [B, W, S] band layout — no [B,h,S,W,d]
+        # tensor, no scatter backward, at any S).
+        return _shift_banded_attention(
+            q, k, v, w, weights_transform, attention_mask
+        )
 
     impl = os.environ.get("FAVIT_MHLA_IMPL", "auto")
     if impl == "densefull" or (impl == "auto" and s <= DENSE_BAND_MAX_SEQ):
@@ -613,7 +505,8 @@ def windowed_latent_attention(
         # matters; what matters is the dense working-set shape, which
         # restores the microbatch scheduling lever (BASELINE.md round 3:
         # densefull+mb16 771 vs shift 507 same-process; blocked tiles lose
-        # — their [T,d]·[d,T+2hw] matmuls are too small for the MXU).
+        # — [T,d]·[d,T+2hw] matmuls too small for the MXU; the measured-
+        # and-pruned blocked path's record lives in BASELINE.md).
         return _dense_band_attention(q, k, v, w)
 
     if impl == "roll":
@@ -649,13 +542,6 @@ def windowed_latent_attention(
         )
 
         out = banded_attention_v4(q, k, v, w)
-    elif impl == "blocked":
-        # A/B path: blocked tile-band on the MXU (interior rows exact via
-        # the per-tile log-multiplicity bias; the 2·hw global-edge rows —
-        # whose windows duplicate keys S-1/0 from outside the tile slab —
-        # are overwritten below like the shift path's). Measured slower
-        # than both densefull (short S) and shift (long S) on v5e.
-        out = _blocked_band_attention(q, k, v, w)
     else:
         # Halo-padded shift band: exact everywhere incl. the reference's
         # duplicated-edge-key rule (:func:`_halo_pad`) — returns directly.
@@ -664,7 +550,7 @@ def windowed_latent_attention(
     if hw == 0:
         return out
 
-    # Exact edge rows (first/last hw) for the pallas/blocked paths, whose
+    # Exact edge rows (first/last hw) for the archival v4 Pallas path, whose
     # banded compute clamps at the edges: the reference pads left-edge
     # windows with key S-1 and right-edge windows with key 0
     # (models/mhla.py:72-79). Recompute those 2·hw rows exactly —

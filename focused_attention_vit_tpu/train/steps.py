@@ -161,13 +161,16 @@ def make_train_step(
                 gacc = jax.tree.map(jnp.add, gacc, g)
                 return (gacc, lacc + ls, cacc + co), None
 
-            # Accumulate in promote(param_dtype, f32): f32 for the
-            # production configs, f64 when the whole run is f64 (the
-            # training-dynamics parity harness) — a forced-f32 carry
-            # would make lax.scan reject the f64 chunk grads/loss at
-            # trace time (carry dtype mismatch).
+            # Accumulate in promote(param_dtype, compute_dtype, f32): f32
+            # for the production configs, f64 when any part of the run is
+            # f64 (the training-dynamics parity harness) — a forced-f32
+            # carry would make lax.scan reject the f64 chunk grads/loss
+            # at trace time (carry dtype mismatch).
             acc_t = jnp.promote_types(
-                jax.tree_util.tree_leaves(state.params)[0].dtype,
+                jnp.promote_types(
+                    jax.tree_util.tree_leaves(state.params)[0].dtype,
+                    jnp.dtype(compute_dtype),
+                ),
                 jnp.float32,
             )
             zeros = jax.tree.map(
@@ -176,10 +179,12 @@ def make_train_step(
             )
             (gsum, loss_sum, correct), _ = jax.lax.scan(
                 chunk,
-                # jnp.int_ = the default integer dtype (int32 normally,
-                # int64 under x64 — what the chunk's correct-count sum
-                # produces, so the carry types agree either way).
-                (zeros, jnp.zeros((), acc_t), jnp.zeros((), jnp.int_)),
+                # jnp.result_type(int) = the canonical default integer
+                # dtype (int32 normally, int64 under x64 — what the
+                # chunk's correct-count sum produces, so the carry types
+                # agree either way) without the int64-truncation warning
+                # jnp.int_ emits in non-x64 mode.
+                (zeros, jnp.zeros((), acc_t), jnp.zeros((), jnp.result_type(int))),
                 (imgs, labs, jnp.arange(n)),
             )
             grads = jax.tree.map(lambda g: g / n, gsum)

@@ -169,15 +169,111 @@ class TestWindowedAttention:
                 np.asarray(hooked), np.asarray(oracle), atol=1e-5, rtol=1e-5
             )
 
-    @pytest.mark.parametrize("impl", ["auto", "shift", "blocked"])
+    @pytest.mark.parametrize("s,w", [(40, 7), (33, 5), (100, 3), (64, 4),
+                                     (600, 7)])
+    def test_masked_band_matches_gather(self, s, w):
+        """Masked windowed attention through the public dispatch (shift
+        band + ops/window._banded_mask at banded S, incl. s=600 >
+        DENSE_BAND_MAX_SEQ) vs the gather oracle's mask semantics
+        (reference models/mhla.py:136-143): values AND grads, with edge
+        rows' duplicated keys masked via the same clamped index."""
+        from focused_attention_vit_tpu.ops.window import (
+            windowed_latent_attention,
+            _gather_windowed_attention,
+        )
+
+        rng = np.random.default_rng(20260820)
+        b, h, d = 2, 2, 16
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        mask = jnp.asarray(
+            (rng.random(size=(b, s, s)) < 0.8).astype(np.float32)
+        )
+        got = windowed_latent_attention(q, k, v, w, mask)
+        oracle = _gather_windowed_attention(q, k, v, w, mask)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(oracle), atol=1e-5, rtol=1e-5
+        )
+
+        cot = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        g1 = jax.grad(lambda t: jnp.sum(
+            windowed_latent_attention(*t, w, mask) * cot
+        ))((q, k, v))
+        g2 = jax.grad(lambda t: jnp.sum(
+            _gather_windowed_attention(*t, w, mask) * cot
+        ))((q, k, v))
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4
+            )
+
+    def test_masked_long_s_never_materializes_window_tensor(self):
+        """VERDICT r3 'what's weak' #2: masked attention at
+        S > DENSE_BAND_MAX_SEQ used to fall into the gather formulation
+        materializing [B,h,S,W,d] K/V windows (~2.2 GB/tensor at
+        S=3137 b32 f32) with a scatter backward. Pin that the traced
+        program (fwd AND grad) contains no [.., S, W, d]-shaped value at
+        S=3137, for eval and for the train-dropout path through the
+        MHLA module."""
+        from focused_attention_vit_tpu.ops.window import (
+            windowed_latent_attention,
+        )
+        from focused_attention_vit_tpu.models.layers import (
+            MultiHeadLatentAttention,
+        )
+
+        rng = np.random.default_rng(7)
+        b, h, s, d, w = 1, 2, 3137, 8, 7
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+        mask = jnp.asarray(
+            (rng.random(size=(b, s, s)) < 0.9).astype(np.float32)
+        )
+        big = f"{s},{w},{d}]"  # any aval printed ...,S,W,d]
+
+        jaxpr = repr(jax.make_jaxpr(
+            lambda q: windowed_latent_attention(q, q, q, w, mask).sum()
+        )(q))
+        assert big not in jaxpr
+        grad_jaxpr = repr(jax.make_jaxpr(jax.grad(
+            lambda q: windowed_latent_attention(q, q, q, w, mask).sum()
+        ))(q))
+        assert big not in grad_jaxpr
+
+        # Output correct vs the oracle on a narrow slice is covered by
+        # test_masked_band_matches_gather (s=600); here just finite.
+        out = jax.jit(
+            lambda q: windowed_latent_attention(q, q, q, w, mask)
+        )(q)
+        assert bool(jnp.isfinite(out).all())
+
+        # Train path with dropout + mask through the module.
+        dim = h * d
+        m = MultiHeadLatentAttention(
+            embed_dim=dim, num_heads=h, window_size=w, dropout=0.1
+        )
+        x = jnp.asarray(rng.normal(size=(b, s, dim)).astype(np.float32))
+        params = m.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            x, deterministic=False, attention_mask=mask,
+        )
+        mod_jaxpr = repr(jax.make_jaxpr(
+            lambda p, x: m.apply(
+                p, x, deterministic=False, attention_mask=mask,
+                rngs={"dropout": jax.random.PRNGKey(2)},
+            )
+        )(params, x))
+        assert big not in mod_jaxpr
+
+    @pytest.mark.parametrize("impl", ["auto", "shift"])
     def test_fuzz_random_geometries_match_gather(self, impl, monkeypatch):
         """Seeded sweep over random (S, W) pairs — including S < W, S == W,
         even W, and W == 1 — the fixed-geometry cases above can't cover,
         run once per dispatch implementation: auto (dense band-masked at
-        these S, plus the S<=2W gather degenerates), forced shift band,
-        and forced blocked tiles + exact edge-row overwrite. The roll
-        kernel has lane-granularity geometry rules of its own and keeps
-        its dedicated boundary-case sweep
+        these S, plus the S<=2W gather degenerates) and forced shift
+        band. The roll kernel has lane-granularity geometry rules of its
+        own and keeps its dedicated boundary-case sweep
         (test_roll_band_matches_shift_fwd_and_grad). Values AND gradients
         must match the gather oracle at every geometry.
 
@@ -284,51 +380,6 @@ class TestWindowedAttention:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(oracle), atol=1e-5, rtol=1e-5
         )
-
-    @pytest.mark.parametrize("s,w", [(40, 7), (33, 5), (100, 3), (64, 4),
-                                     (197, 7), (70, 7)])
-    @pytest.mark.parametrize("block", [16, 64])
-    def test_blocked_band_matches_gather(self, rng, s, w, block,
-                                         monkeypatch):
-        """Blocked tile-band formulation (per-tile log-multiplicity bias,
-        MXU matmuls): interior rows exact vs the oracle directly; full
-        equality (incl. the duplicated-edge-key rows) through the public
-        op with the edge overwrite, fwd and grads; ragged last tile
-        included."""
-        import focused_attention_vit_tpu.ops.window as W
-
-        hw = w // 2
-        b, h, d = 2, 3, 16
-        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
-        k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
-        v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
-        oracle = W._gather_windowed_attention(q, k, v, w)
-
-        got = W._blocked_band_attention(q, k, v, w, block=block)
-        np.testing.assert_allclose(
-            np.asarray(got)[:, :, hw : s - hw],
-            np.asarray(oracle)[:, :, hw : s - hw],
-            atol=1e-5, rtol=1e-5,
-        )
-
-        monkeypatch.setenv("FAVIT_MHLA_IMPL", "blocked")
-        full = W.windowed_latent_attention(q, k, v, w)
-        np.testing.assert_allclose(
-            np.asarray(full), np.asarray(oracle), atol=1e-5, rtol=1e-5
-        )
-
-        cot = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
-        g1 = jax.grad(lambda q, k, v: jnp.sum(
-            W.windowed_latent_attention(q, k, v, w) * cot
-        ), argnums=(0, 1, 2))(q, k, v)
-        g2 = jax.grad(lambda q, k, v: jnp.sum(
-            W._gather_windowed_attention(q, k, v, w) * cot
-        ), argnums=(0, 1, 2))(q, k, v)
-        for a, b_ in zip(g1, g2):
-            assert bool(jnp.isfinite(a).all())
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-4
-            )
 
     @pytest.mark.parametrize("s,w", [(900, 7), (65, 7), (197, 5), (640, 7), (1281, 7)])
     def test_roll_band_matches_shift_fwd_and_grad(self, rng, s, w,
@@ -487,43 +538,6 @@ class TestWindowedAttention:
         np.testing.assert_allclose(
             float(dv[0, 0, 3, lane]), float(fd), rtol=1e-3, atol=1e-3
         )
-
-    @pytest.mark.parametrize("s,w", [(40, 7), (33, 5), (100, 3), (64, 4),
-                                     (197, 7), (9, 7)])
-    def test_nsh_layout_matches_gather(self, rng, s, w):
-        """The transpose-free [B,S,h,d] (minor-head) path — fwd and grads
-        ≡ the gather oracle after layout conversion (the long-S production
-        layout, BASELINE.md round-3 bisect)."""
-        from focused_attention_vit_tpu.ops.window import (
-            windowed_latent_attention_nsh,
-            _gather_windowed_attention,
-        )
-
-        b, h, d = 2, 3, 16
-        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
-        k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
-        v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
-        oracle = _gather_windowed_attention(q, k, v, w)
-
-        to_nsh = lambda t: t.transpose(0, 2, 1, 3)
-        got = to_nsh(windowed_latent_attention_nsh(
-            to_nsh(q), to_nsh(k), to_nsh(v), w
-        ))
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(oracle), atol=1e-5, rtol=1e-5
-        )
-
-        cot = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
-        g1 = jax.grad(lambda q, k, v: jnp.sum(to_nsh(
-            windowed_latent_attention_nsh(to_nsh(q), to_nsh(k), to_nsh(v), w)
-        ) * cot), argnums=(0, 1, 2))(q, k, v)
-        g2 = jax.grad(lambda q, k, v: jnp.sum(
-            _gather_windowed_attention(q, k, v, w) * cot
-        ), argnums=(0, 1, 2))(q, k, v)
-        for a, b_ in zip(g1, g2):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-4
-            )
 
     @pytest.mark.parametrize("s,w", [(40, 7), (33, 5), (100, 3), (64, 4),
                                      (197, 7), (9, 7)])
@@ -1260,6 +1274,80 @@ class TestNativeConnectivity:
         assert seg.shape == (2, 32, 32)
         assert seg.min() >= 0 and seg.max() < 16
 
+    @pytest.mark.slow
+    def test_224_connectivity_agreement_vs_skimage_golden(self):
+        """The 224²/R=16 connectivity question (VERDICT r3 next-round #1):
+        what does each production connectivity mode cost against the
+        skimage-faithful golden (connectivity ON — the reference's
+        inherited default, /root/reference/models/sppp.py:64-65) at the
+        granularity SPPP consumes — patch-dominant superpixel ids at
+        patch 16, optimal label matching?
+
+        Committed golden: tests/fixtures/slic_golden_224.npz
+        (tools/make_slic_golden_224.py, 6 structured ImageNet-standardized
+        images labelled by tools/slic_numpy.py WITH connectivity).
+
+        Measured 2026-08-20 (pinned with slack below, recorded in
+        BASELINE.md "224² connectivity"):
+          host C++ : mean 0.998 (pixel-EXACT on 5/6 images — the
+                     bit-exact-core domain extends to 224², and
+                     native/connectivity.cpp is exact skimage semantics)
+          device ON: mean 0.831 (approximate rank/merge rule)
+          OFF      : mean 0.662 — the axon-tunnel fallback is POOR at
+                     the reference's own geometry; see ops/slic.py
+                     docstring for the production story.
+        """
+        from scipy.optimize import linear_sum_assignment
+
+        fix = np.load(
+            os.path.join(os.path.dirname(__file__), "fixtures",
+                         "slic_golden_224.npz")
+        )
+        imgs, golden = fix["images"], fix["golden_labels"]
+        R, P = int(fix["n_segments"]), 16
+
+        def dom(labels, r):
+            return np.asarray(
+                dominant_superpixel_per_patch(jnp.asarray(labels), P, r)
+            )
+
+        def agree(a, b):
+            n = int(max(a.max(), b.max())) + 1
+            cont = np.zeros((n, n))
+            np.add.at(cont, (a, b), 1)
+            ri, ci = linear_sum_assignment(-cont)
+            return cont[ri, ci].sum() / a.size
+
+        def agreements(mode, idxs):
+            out = []
+            for i in idxs:
+                lab = np.asarray(slic_segment(
+                    jnp.asarray(imgs[i]), num_segments=R, compactness=0.1,
+                    enforce_connectivity=mode,
+                ))
+                gd = dom(golden[i], int(golden[i].max()) + 1)
+                ld = dom(lab, max(R, int(lab.max()) + 1))
+                out.append(agree(gd, ld))
+            return float(np.mean(out))
+
+        host = agreements("host", range(len(imgs)))
+        assert host >= 0.97, f"host-C++ 224² agreement regressed: {host}"
+        # Pixel-level: the host path reproduces the skimage golden
+        # essentially exactly (f32 core vs the oracle's f64 flips at most
+        # a few boundary pixels on one image).
+        lab0 = np.asarray(slic_segment(
+            jnp.asarray(imgs[0]), num_segments=R, compactness=0.1,
+            enforce_connectivity="host",
+        ))
+        assert (lab0 == golden[0]).mean() >= 0.98
+
+        off = agreements(False, range(len(imgs)))
+        assert 0.5 <= off, f"conn-OFF 224² agreement changed: {off}"
+
+        # Device enforcement on a 2-image subset (it is the slow mode).
+        dev = agreements(True, range(2))
+        assert dev >= 0.7, f"device-ON 224² agreement regressed: {dev}"
+
     def test_host_partition_agrees_with_device_on_patch_dominant(self):
         """Host vs on-device enforcement: same consumption-granularity
         result (patch-dominant superpixel under optimal label matching),
@@ -1308,7 +1396,6 @@ class TestBandWeightsRematTag:
     @pytest.mark.parametrize("impl,shape_str", [
         ("densefull", "f32[1,2,40,40]"),   # dense band-masked [B,h,S,S]
         ("shift", "f32[1,2,7,40]"),        # shift band [B,h,W,S]
-        ("blocked", "f32[1,2,1,40,46]"),   # blocked tiles [B,h,n,T,T+2hw]
     ])
     def test_policy_saves_band_weights(self, rng, monkeypatch, impl,
                                        shape_str):

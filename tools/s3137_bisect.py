@@ -74,8 +74,7 @@ def bench(name, attn_fn, steps=4):
         print(f"{name}: FAILED {str(e)[:120]}", flush=True)
 
 bench("no-attn (o=v)        ", lambda q, k, v: v)
-for t in (256, 512, 128):
-    bench(f"blocked T={t:<4}       ",
-          lambda q, k, v, t=t: W._blocked_band_attention(q, k, v, 7, block=t))
+# (blocked tile-band sweep removed with the path itself, round 4 —
+# measured numbers preserved in BASELINE.md "round-3 bisect")
 bench("shift (no edge fix)  ", lambda q, k, v: W._shift_banded_attention(q, k, v, 7))
 bench("full windowed (shift+edges)", lambda q, k, v: W.windowed_latent_attention(q, k, v, 7))
