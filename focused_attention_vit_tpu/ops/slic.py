@@ -82,9 +82,14 @@ def _warn_auto_connectivity_off(h: int, w: int) -> None:
     warnings.warn(
         f"SLIC enforce_connectivity='auto' resolved to OFF at {h}x{w} "
         f"(> {AUTO_CONNECTIVITY_MAX_PIXELS} px): the skimage-default "
-        "connectivity relabel/merge step is skipped for speed. Pass "
-        "enforce_connectivity=True (CLI: --slic_connectivity on) to "
-        "restore skimage fidelity.",
+        "connectivity relabel/merge step is skipped for speed. Measured "
+        "cost at 224²/R=16 vs the committed skimage golden: patch-"
+        "dominant agreement 0.66 (host-C++ enforcement is 1.00/exact, "
+        "device enforcement 0.83 — BASELINE.md '224² connectivity'). "
+        "Pass enforce_connectivity=True (CLI: --slic_connectivity on) "
+        "for on-device fidelity, or 'host' on a backend with host-"
+        "callback support (any real TPU runtime; the axon dev tunnel "
+        "is the exception) for exact skimage semantics at ~0.7 ms/img.",
         stacklevel=3,
     )
 
@@ -490,12 +495,21 @@ def slic_segment(
       n_iter: fixed k-means iteration count.
       enforce_connectivity: skimage-style component relabel + small-segment
         merging (skimage default True, which the reference inherits).
-        ``"auto"`` (default) enforces it for images up to
+        ``"auto"`` (default) enforces it on device for images up to
         ``AUTO_CONNECTIVITY_MAX_PIXELS`` (CIFAR-native scales, where the
-        skimage-golden agreement tests run) and skips it above: at low
-        compactness a 224² map shatters into ~15k fragments and the
-        size/adjacency scatters cost ~40× the rest of the pipeline on
-        v5e (6.6 s vs 35 ms at batch 128) — pass ``True`` to force.
+        skimage-golden agreement tests run); above that it routes to the
+        exact host C++ kernel (``native/connectivity.cpp``, ~0.7 ms/img
+        under the step via ``pure_callback``) on backends that support
+        host callbacks — which is every real TPU runtime — and degrades
+        to OFF with a warning only on the axon dev tunnel (no callback
+        support). Measured at 224²/R=16 against the committed
+        skimage-faithful golden (tests/fixtures/slic_golden_224.npz,
+        patch-dominant agreement under optimal matching — BASELINE.md
+        "224² connectivity"): host 1.00 (pixel-exact on 5/6 images),
+        device ON 0.83 at ~51 ms/img on v5e (the fragment scatters cost
+        ~190× the rest of the SPPP pipeline: 6.6 s vs 35 ms at b128 —
+        why auto does not pick it), OFF 0.66. Pass ``True`` to force
+        device enforcement, ``"host"`` to force the C++ kernel.
 
     Returns:
       int32 segment map ``[B, H, W]`` (or ``[H, W]``), labels in [0, R).
