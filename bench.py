@@ -255,18 +255,26 @@ def main():
         # recompute (incl. the band's non-matmul ops, the scheduling
         # wall): dense 14.5 → 18.9 img/s, windowed MHLA 36.8 → 48.0.
         b4 = dict(common, patch_size=4, remat=False)
+        # Dense control: mb1 measured 20.6 vs 18.9 (mb4) in the round-4
+        # re-sweep — the live-set scheduling lever keeps paying down to
+        # single-image chunks at S=3137 (BASELINE.md "attack #8").
         s3137["s3137_dense_images_per_sec_fwd_bwd"] = round(
             bench_train(
                 VisionTransformer(**b4), 32, 224,
-                microbatch=4,
+                microbatch=1,
             ), 2
         )
+        # Windowed MHLA: microbatch 1 + the roll-kernel band (auto
+        # dispatch on TPU) — measured 61.9 vs 53.6 (mb4) in round 4
+        # after the in-kernel dkv accumulation backward (BASELINE.md
+        # "attack #8"); the experiments' long-S auto-microbatch rule
+        # encodes the same.
         s3137["s3137_mhla_images_per_sec_fwd_bwd"] = round(
             bench_train(
                 VisionTransformerMHLA(
                     **b4, window_size=7, use_mhla=True
                 ),
-                32, 224, microbatch=4,
+                32, 224, microbatch=1,
             ), 2
         )
 

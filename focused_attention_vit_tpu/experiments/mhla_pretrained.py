@@ -30,16 +30,17 @@ class PretrainedMHLAViTExperiment(PretrainedMixin, ExperimentBase):
     auto_microbatch: "int | None" = 16
 
     def _auto_microbatch_value(self):
-        # Long S (shift-band path): measured best at microbatch 4, with
-        # and without remat — 48.0 (no-remat) / 36.9 (remat) img/s vs
-        # 46.0 / 36.6 at mb8 at S=3137 b32 (BASELINE.md "S=3137 attack
-        # #6" / "#3"). Falls back to 8 when 4 does not divide the batch
-        # (then to the generic divisibility handling).
+        # Long S (roll-kernel band path): measured best at microbatch 1 —
+        # 61.9 img/s vs 58.8 (mb2) / 53.6 (mb4) / 50.5 (mb8) at S=3137
+        # b32 no-remat with the round-4 in-kernel-accumulation backward
+        # (BASELINE.md "S=3137 attack #8"; the round-3 shift-band best
+        # was mb4 at 48.0, attack #6). mb=1 divides every batch, so no
+        # divisibility fallback is needed at long S.
         from focused_attention_vit_tpu.ops.window import DENSE_BAND_MAX_SEQ
 
         s = (self.img_size // self.patch_size) ** 2 + 1
         if s > DENSE_BAND_MAX_SEQ:
-            return 4 if self.batch_size % 4 == 0 else 8
+            return 1
         return self.auto_microbatch
 
     def build_model(self):

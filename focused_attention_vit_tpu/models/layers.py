@@ -367,17 +367,19 @@ class MultiHeadLatentAttention(nn.Module):
             and self.sp_mesh is None
             and (
                 impl_env == "roll"
-                # Production auto: eval (deterministic) long-S forward on
-                # the real TPU takes the roll kernel — measured 1.33×
-                # band fwd / +7% end-to-end eval at S=3137 b32 (roll
-                # 125.2 vs shift 117.0 img/s, BASELINE.md "attack #5").
-                # Training keeps the XLA shift band: the roll backward's
-                # VPU passes lose to XLA's fused band bwd (29.8 vs
-                # 25.5 ms fwd+bwd) — and a deterministic forward under
-                # grad still gets correct (slower) custom-VJP grads.
+                # Production auto: long-S on the real TPU takes the roll
+                # kernel for BOTH eval and training. Eval: 1.33× band fwd
+                # / +7% end-to-end (125.2 vs 117.0 img/s at S=3137 b32,
+                # BASELINE.md "attack #5"). Training: under the
+                # attack-#6 production config (no-remat, microbatch 4)
+                # the custom-VJP fusion barrier that sank the round-3
+                # hybrid no longer bites — measured 49.8 vs 48.0 img/s
+                # end-to-end (BASELINE.md round-4 "attack #8"); the
+                # in-kernel PRNG window-slot dropout replaces the
+                # [B,h,W,S] mask traffic of nn.Dropout on the shift
+                # band's weights.
                 or (
                     impl_env == "auto"
-                    and deterministic
                     and jax.default_backend() == "tpu"
                 )
             )

@@ -93,6 +93,26 @@ def _keep_mask(shape, rate: float, seed, b, i):
     return bits.astype(jnp.uint32) >= thr
 
 
+def _keep_mask_tiled(w: int, t: int, mask_block: int, rate: float,
+                     seed, b, i):
+    """Keep mask for execution-tile lanes [i·t, i·t+t), drawn in
+    ``mask_block``-lane units so the mask stream is EXECUTION-TILING-
+    INDEPENDENT: the j-th block of a row always gets the (seed, b, j)
+    draw whether the kernel runs one whole-row tile or many narrow ones.
+    This is what lets the forward widen its tile (round-4: 6.6 vs
+    7.6 ms) while the backward re-derives identical masks at the
+    VMEM-constrained narrow tiling. ``t`` must be a multiple of
+    ``mask_block`` (both come from :func:`_tiling`)."""
+    n = t // mask_block
+    if n == 1:
+        return _keep_mask((w, t), rate, seed, b, i)
+    parts = [
+        _keep_mask((w, mask_block), rate, seed, b, i * n + j)
+        for j in range(n)
+    ]
+    return jnp.concatenate(parts, axis=1)
+
+
 def _shifted(x, o: int, t: int):
     """Lanes [o, o+T) of ``x`` [d, T+_HALO] via roll + aligned slice."""
     ext = x.shape[-1]
@@ -121,7 +141,8 @@ def _band_weights(q, k_sh, scale: float):
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, w_ref=None, *,
-                w: int, t: int, scale: float, rate: float):
+                w: int, t: int, scale: float, rate: float,
+                mask_block: int = 0):
     """``w_ref`` (band-weights residual out) is present only on the
     custom-VJP forward; the primal/eval kernel omits it — the write is
     inside pallas so XLA cannot DCE it, and eval shouldn't pay it."""
@@ -151,7 +172,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, w_ref=None, *,
         # 8-row alignment rule).
         w_ref[0] = jnp.pad(wts, ((0, w_ref.shape[1] - w), (0, 0)))
     if rate > 0.0:
-        keep = _keep_mask((w, t), rate, seed_ref[0], b, i)
+        keep = _keep_mask_tiled(w, t, mask_block, rate, seed_ref[0], b, i)
         wts = jnp.where(keep, wts / (1.0 - rate), 0.0)
 
     acc = jnp.zeros((d, t), jnp.float32)
@@ -162,17 +183,30 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, w_ref=None, *,
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, w_ref,
                 dq_ref, dkv_ref, *,
-                w: int, t: int, scale: float, rate: float):
+                w: int, t: int, scale: float, rate: float,
+                mask_block: int = 0):
     """Per query-tile: reload the fwd's saved band weights (re-deriving
-    only the dropout mask from the seed), emit dq [d,T] plus this tile's
-    stacked dk/dv contributions [2d,T+_HALO] — disjoint per tile; the
-    caller overlap-adds. K‖V views and dk‖dv scatters each roll as ONE
-    [2d, ·] rotate per offset (rotates dominated the first-cut bwd's
-    22.6 ms: 24 per tile → 12 here)."""
+    only the dropout mask from the seed), emit dq [d,T] and accumulate
+    this tile's stacked dk/dv contribution [2d,T+_HALO] into the
+    PERSISTENT whole-row output block ``dkv_ref`` [2d, s_pad+_HALO]
+    (index map independent of the tile axis, so the block stays resident
+    in VMEM across the row's tiles — the standard Pallas reduction
+    pattern). The round-3 design emitted per-tile contributions
+    ([bh, n_tiles, 2d, ext] = 755 MB f32 at the bench geometry) and
+    overlap-added them in XLA — the round-4 ablation measured the kernel
+    itself at 6.2 ms and that XLA post-processing at ~2/3 of the 22.4 ms
+    backward; in-kernel accumulation deletes it (BASELINE.md round-4).
+    K‖V views and dk‖dv scatters each roll as ONE [2d, ·] rotate per
+    offset (rotates dominated the first-cut bwd's 22.6 ms:
+    24 per tile → 12 here)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     d = q_ref.shape[1]
     ext = t + _HALO
+
+    @pl.when(i == 0)
+    def _init():
+        dkv_ref[0] = jnp.zeros_like(dkv_ref[0])
 
     q = q_ref[0].astype(jnp.float32)
     g = g_ref[0].astype(jnp.float32)
@@ -191,7 +225,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, w_ref,
         axis=0,
     )
     if rate > 0.0:
-        keep = _keep_mask((w, t), rate, seed_ref[0], b, i)
+        keep = _keep_mask_tiled(w, t, mask_block, rate, seed_ref[0], b, i)
         inv = 1.0 / (1.0 - rate)
         wd = jnp.where(keep, wts * inv, 0.0)   # dropped weights (fwd's)
         dwts = jnp.where(keep, u * inv, 0.0)   # dL/d(pre-dropout weights)
@@ -216,7 +250,10 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, w_ref,
         # tile-local lanes [o, o+T) by rolling right o lanes.
         dkv_tile = dkv_tile + (pltpu.roll(ckv, shift=o, axis=1) if o else ckv)
     dq_ref[0] = dq.astype(dq_ref.dtype)
-    dkv_ref[0, 0] = dkv_tile
+    # Accumulate into the persistent row block at this tile's lane window
+    # (i·T is a lane-tile multiple — aligned slice).
+    win = dkv_ref[0, :, pl.ds(i * t, ext)]
+    dkv_ref[0, :, pl.ds(i * t, ext)] = win + dkv_tile
 
 
 def _extend(x, s: int, w: int, s_pad: int):
@@ -238,19 +275,6 @@ def _tiling(s: int, w: int):
         t = max(128, -(-(s + w - 1) // 128) * 128)
     n_tiles = -(-s // t)
     return t, n_tiles, t * n_tiles
-
-
-def _overlap_add(tiles, s_pad: int, t: int):
-    """[n, d, T+_HALO] tile contributions at lane offsets iT → [d, s_pad+_HALO]."""
-    n, d, ext = tiles.shape
-    main = jnp.pad(
-        tiles[:, :, :t].transpose(1, 0, 2).reshape(d, s_pad),
-        ((0, 0), (0, _HALO)),
-    )
-    halo = jnp.pad(tiles[:, :, t:], ((0, 0), (0, 0), (0, t - _HALO)))
-    halo = halo.transpose(1, 0, 2).reshape(d, s_pad)
-    halo = jnp.pad(halo, ((0, 0), (t, 0)))[:, : s_pad + _HALO]
-    return main + halo
 
 
 def _fold_ext(d_ext, s: int, w: int):
@@ -322,6 +346,20 @@ def _fwd_impl(q, k, v, seed_arr, window_size, rate, save_wts: bool):
     w = window_size
     bh = b * h
     t, n_tiles, s_pad = _tiling(s, w)
+    # Forward-only tile widening: one whole-row tile measured 6.6-6.9 vs
+    # 7.6 ms at the bench geometry (round-4 sweep — fewer grid steps,
+    # same VPU work; the BACKWARD at one tile blows the 16 MB scoped-VMEM
+    # limit on its [2d, ext] accumulator, so _roll_bwd keeps _tiling's).
+    # Constraints: s_pad is unchanged (t·n is the same product) and VMEM
+    # ≈ (2d·(s_pad+_HALO) + 3·d·s_pad + 8·s_pad)·4 B must fit — gate at
+    # s_pad ≤ 6400 (≈ 7 MB at d=64). Dropout masks stay consistent with
+    # the backward's narrow tiling because they are drawn in
+    # _tiling-sized blocks regardless of execution tile
+    # (:func:`_keep_mask_tiled`, pinned by
+    # test_roll_band_dropout_semantics' FD checks).
+    mask_block = t
+    if n_tiles > 1 and s_pad <= 6400:
+        t, n_tiles = s_pad, 1
 
     qf = q.reshape(bh, d, s)
     k_ext = _extend(k.reshape(bh, d, s), s, w, s_pad)
@@ -341,7 +379,8 @@ def _fwd_impl(q, k, v, seed_arr, window_size, rate, save_wts: bool):
         # recomputing the W logit reduces + softmax.
         out_shape.append(jax.ShapeDtypeStruct((bh, wp, s_pad), jnp.float32))
     res = _pallas(
-        functools.partial(_fwd_kernel, w=w, t=t, scale=d**-0.5, rate=rate),
+        functools.partial(_fwd_kernel, w=w, t=t, scale=d**-0.5, rate=rate,
+                          mask_block=mask_block),
         grid=(bh, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -364,14 +403,15 @@ def _xla_band_bwd_from_wts(q, k, v, wts, g, w: int):
     """Hybrid backward (``FAVIT_ROLL_BWD=xla``, rate=0 only): the band's
     VJP expressed in plain XLA ops from the forward-saved weights.
 
-    Motivation (BASELINE.md "attack #5"): the roll *forward* beats the
-    XLA shift band 1.40× (7.42 vs 10.40 ms at the reference geometry),
-    but the Pallas backward is VPU-pass-bound at 22.4 ms where XLA's
-    autodiff of the shift band costs ~15.2 ms — and XLA's number
-    includes recomputing the softmax the roll forward has already saved.
-    So the best measured split is: Pallas roll forward + this backward —
-    the same pad/slice/elementwise program XLA's autodiff builds for the
-    shift band, minus the weight recompute.
+    History (BASELINE.md "attack #5"/"attack #8"): in round 3 the Pallas
+    backward measured 22.4 ms (dominated, as the round-4 ablation later
+    showed, by XLA overlap-add post-processing of per-tile dk/dv — not
+    by the kernel), so this hybrid (roll fwd + XLA band VJP from the
+    saved weights) was the best split at band level. Round 4's in-kernel
+    dkv accumulation dropped the full-Pallas fwd+bwd to 15.9 ms vs the
+    shift band's 25.6, making the Pallas backward the production
+    training path; this hybrid remains as the measured A/B twin behind
+    ``FAVIT_ROLL_BWD=xla``.
 
     Only valid when no attention-weight dropout was applied: the
     kernel's in-kernel Mosaic PRNG stream cannot be reproduced by XLA,
@@ -463,29 +503,34 @@ def _roll_bwd(window_size, rate, res, g):
     row_spec = pl.BlockSpec((1, d, s_pad + _HALO), lambda bb, i: (bb, 0, 0))
     tile_spec = pl.BlockSpec((1, d, t), lambda bb, i: (bb, 0, i))
     wts_spec = pl.BlockSpec((1, wp, t), lambda bb, i: (bb, 0, i))
-    ext2_spec = pl.BlockSpec(
-        (1, 1, 2 * d, t + _HALO), lambda bb, i: (bb, i, 0, 0)
+    # dkv: ONE persistent [2d, s_pad+_HALO] block per bh row — the index
+    # map ignores the tile axis, so Mosaic keeps it in VMEM across the
+    # row's tiles (1.7 MB f32 at the bench geometry) and the kernel
+    # overlap-adds in place; written to HBM once (151 MB vs the round-3
+    # per-tile layout's 755 MB + XLA overlap-add passes).
+    dkv_spec = pl.BlockSpec(
+        (1, 2 * d, s_pad + _HALO), lambda bb, i: (bb, 0, 0)
     )
-    dq, dkv_t = _pallas(
-        functools.partial(_bwd_kernel, w=w, t=t, scale=d**-0.5, rate=rate),
+    dq, dkv = _pallas(
+        functools.partial(_bwd_kernel, w=w, t=t, scale=d**-0.5, rate=rate,
+                          mask_block=t),
         grid=(bh, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             tile_spec, row_spec, row_spec, tile_spec, wts_spec,
         ],
-        out_specs=[tile_spec, ext2_spec],
+        out_specs=[tile_spec, dkv_spec],
         out_shape=[
             jax.ShapeDtypeStruct((bh, d, s_pad), q.dtype),
             jax.ShapeDtypeStruct(
-                (bh, n_tiles, 2 * d, t + _HALO), jnp.float32
+                (bh, 2 * d, s_pad + _HALO), jnp.float32
             ),
         ],
     )(seed_arr, q_p, k_ext, v_ext, g_p, wts)
 
-    oa = jax.vmap(lambda x: _overlap_add(x, s_pad, t))
     fold = jax.vmap(lambda x: _fold_ext(x, s, w))
-    dk = fold(oa(dkv_t[:, :, :d])).astype(k.dtype).reshape(b, h, d, s)
-    dv = fold(oa(dkv_t[:, :, d:])).astype(v.dtype).reshape(b, h, d, s)
+    dk = fold(dkv[:, :d]).astype(k.dtype).reshape(b, h, d, s)
+    dv = fold(dkv[:, d:]).astype(v.dtype).reshape(b, h, d, s)
     dq = dq[:, :, :s].reshape(b, h, d, s).astype(q.dtype)
     # seed is integer-typed: its cotangent is float0.
     dseed = np.zeros((1,), dtype=jax.dtypes.float0)

@@ -423,20 +423,20 @@ def test_mhla_pretrained_scan_layers_pp(dirs):
 
 def test_mhla_auto_microbatch_geometry_rule(dirs):
     """MHLA experiments: auto-microbatch is 16 at short S (dense band
-    path) and 4 at long S (shift band path; 8 when 4 does not divide
-    the batch) — BASELINE.md attacks #3/#6."""
+    path) and 1 at long S (roll-kernel band path — measured best at
+    S=3137 b32, divides every batch) — BASELINE.md attacks #3/#6/#8."""
     e = exp.PretrainedMHLAViTExperiment(**TINY, **dirs)  # img16/p4 → S=17
     assert e._auto_microbatch_value() == 16
     e.img_size, e.patch_size = 224, 4  # S=3137
-    assert e._auto_microbatch_value() == 4
-    e.batch_size = 124  # 124 % 4 == 0 → still 4
-    assert e._auto_microbatch_value() == 4
-    e.batch_size = 30  # not divisible by 4 → fall back to 8
-    assert e._auto_microbatch_value() == 8
+    assert e._auto_microbatch_value() == 1
+    e.batch_size = 124
+    assert e._auto_microbatch_value() == 1
+    e.batch_size = 30  # mb1 divides every batch — no fallback needed
+    assert e._auto_microbatch_value() == 1
     e.microbatch = None
     e.mesh = None
     e.batch_size = 32
-    assert e._effective_microbatch() == 4
+    assert e._effective_microbatch() == 1
 
 
 def test_elastic_resume_across_mesh_sizes(dirs, tmp_path):

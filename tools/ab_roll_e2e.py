@@ -2,13 +2,14 @@
 FAVIT_MHLA_IMPL=roll (v5 lane-roll band kernel).
 
 Run (TPU): PYTHONPATH=/root/repo:/root/.axon_site python tools/ab_roll_e2e.py
-Env: AB_MB (default 8), AB_SCAN (default 1), AB_IMPLS (comma list),
-AB_MODE (train|eval). FAVIT_ROLL_BWD=xla selects the hybrid backward
-(roll Pallas fwd + XLA band VJP from saved weights) for the roll impl.
+Env: AB_MB (default 4), AB_SCAN (default 0), AB_REMAT (default 0),
+AB_DROPOUT (default 0.1), AB_IMPLS (comma list), AB_MODE (train|eval).
+FAVIT_ROLL_BWD=xla selects the hybrid backward (roll Pallas fwd + XLA
+band VJP from saved weights) for the roll impl.
 
-Staged during the round-3 axon outage (BASELINE.md "attack #5"): A/Bs the
-production config (36.6 img/s) against FAVIT_MHLA_IMPL=roll; the judge bar
-is 40 img/s at batch 32.
+Round-3 staging measured the old production config (remat+scan+mb8,
+36.6 img/s); defaults now match the attack-#6 production config
+(no-remat, mono layers, mb4 — 48.1 img/s, the round-4 baseline).
 """
 import os
 import sys
@@ -23,8 +24,10 @@ import jax.numpy as jnp  # noqa: E402
 sys.path.insert(0, "/root/repo")
 import bench  # noqa: E402
 
-mb = int(os.environ.get("AB_MB", "8"))
-scan = os.environ.get("AB_SCAN", "1") == "1"
+mb = int(os.environ.get("AB_MB", "4"))
+scan = os.environ.get("AB_SCAN", "0") == "1"
+remat = os.environ.get("AB_REMAT", "0") == "1"
+drop = float(os.environ.get("AB_DROPOUT", "0.1"))
 impls = os.environ.get("AB_IMPLS", "auto,roll").split(",")
 
 from focused_attention_vit_tpu.models import VisionTransformerMHLA  # noqa
@@ -35,8 +38,8 @@ for impl in impls:
     os.environ["FAVIT_MHLA_IMPL"] = impl
     m = VisionTransformerMHLA(
         img_size=224, patch_size=4, num_classes=10, embed_dim=768,
-        depth=12, num_heads=12, dropout=0.1, dtype=jnp.bfloat16,
-        window_size=7, use_mhla=True, scan_layers=scan, remat=True,
+        depth=12, num_heads=12, dropout=drop, dtype=jnp.bfloat16,
+        window_size=7, use_mhla=True, scan_layers=scan, remat=remat,
     )
     if mode == "eval":
         p50, steady = bench.bench_eval_latency(m, 32, 224)
@@ -46,4 +49,5 @@ for impl in impls:
         )
     else:
         ips = bench.bench_train(m, 32, 224, microbatch=mb)
-        print(f"impl={impl} mb={mb} scan={scan}: {ips:.2f} img/s", flush=True)
+        print(f"impl={impl} mb={mb} scan={scan} remat={remat} drop={drop}: "
+              f"{ips:.2f} img/s", flush=True)
