@@ -54,6 +54,13 @@ def parse_args(argv=None):
     parser.add_argument("--compactness", type=float, default=0.1)
     parser.add_argument("--pooling_type", type=str, default="mean",
                         choices=["mean", "max", "attention"])
+    parser.add_argument(
+        "--slic_iters", type=int, default=10,
+        help="SLIC k-means iterations (default 10 = skimage-faithful). "
+        "Fewer iterations trade segmentation fidelity for speed: at "
+        "224^2/R=16 the patch-dominant agreement vs the skimage golden "
+        "drops 0.998 -> 0.90 at 8 iterations (BASELINE.md 'SPPP SLIC "
+        "iteration count') - an opt-in knob, not a default.")
     parser.add_argument("--slic_connectivity", type=str, default="auto",
                         choices=["auto", "on", "off", "host"],
                         help="skimage-style SLIC connectivity enforcement: "
@@ -225,6 +232,7 @@ def _sppp_kwargs(args):
         compactness=args.compactness,
         pooling_type=args.pooling_type,
         slic_connectivity=args.slic_connectivity,
+        slic_iters=args.slic_iters,
     )
 
 

@@ -29,6 +29,7 @@ class CrossAttentionExperiment(PretrainedMixin, ExperimentBase):
     compactness: float = 0.1
     pooling_type: str = "mean"
     slic_connectivity: str = "auto"  # 'auto'|'on'|'off' (ops/slic)
+    slic_iters: int = 10  # skimage-faithful default; CLI --slic_iters
     use_pretrained: bool = False
     use_multi_head: bool = False
     # Cross-attention models mix SPPP/dense paths; auto-chunking is only a
@@ -88,6 +89,7 @@ class CrossAttentionExperiment(PretrainedMixin, ExperimentBase):
                 compactness=self.compactness,
                 pooling_type=self.pooling_type,
                 slic_connectivity=self._slic_connectivity(),
+            slic_iters=self.slic_iters,
                 **common,
             )
         return CrossAttentionViT(**common)
@@ -201,6 +203,7 @@ def _args_to_kwargs(args) -> Dict[str, Any]:
         compactness=args.compactness,
         pooling_type=args.pooling_type,
         slic_connectivity=getattr(args, "slic_connectivity", "auto"),
+        slic_iters=getattr(args, "slic_iters", 10),
         pretrained_model_variant=args.pretrained_model_variant,
         pretrained_source=args.pretrained_source,
         freeze_layers=args.freeze_layers,

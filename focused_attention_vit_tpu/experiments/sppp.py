@@ -22,6 +22,7 @@ class SPPPExperiment(ExperimentBase):
     compactness: float = 0.1
     pooling_type: str = "mean"
     slic_connectivity: str = "auto"  # 'auto'|'on'|'off' (ops/slic)
+    slic_iters: int = 10  # skimage-faithful default; CLI --slic_iters
     batch_size: int = 124  # reference default (experiments/sppp.py:53)
     model_display_name: str = "SPPP ViT"
     csv_filename: str = "exp2_sppp.csv"
@@ -44,6 +45,7 @@ class SPPPExperiment(ExperimentBase):
             compactness=self.compactness,
             pooling_type=self.pooling_type,
             slic_connectivity=self._slic_connectivity(),
+            slic_iters=self.slic_iters,
             dtype=self.jnp_dtype,
         )
 

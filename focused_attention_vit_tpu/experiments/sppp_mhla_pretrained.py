@@ -48,6 +48,7 @@ class PretrainedSPPPMHLAExperiment(PretrainedMixin, SPPPExperiment):
             compactness=self.compactness,
             pooling_type=self.pooling_type,
             slic_connectivity=self._slic_connectivity(),
+            slic_iters=self.slic_iters,
             window_size=self.window_size,
             use_mhla=True,
             dtype=self.jnp_dtype,

@@ -42,6 +42,7 @@ class PretrainedSPPPExperiment(PretrainedMixin, SPPPExperiment):
             compactness=self.compactness,
             pooling_type=self.pooling_type,
             slic_connectivity=self._slic_connectivity(),
+            slic_iters=self.slic_iters,
             dtype=self.jnp_dtype,
         )
 

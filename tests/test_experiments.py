@@ -363,6 +363,21 @@ def test_slic_connectivity_flag_mapping(dirs):
         e._slic_connectivity()
 
 
+def test_slic_iters_threads_to_model(dirs):
+    """--slic_iters reaches the SPPP model (opt-in fidelity/speed knob;
+    default 10 = skimage-faithful, BASELINE.md 'SPPP SLIC iteration
+    count')."""
+    e = exp.SPPPExperiment(**dirs)
+    assert e.build_model().slic_iters == 10
+    e.slic_iters = 7
+    assert e.build_model().slic_iters == 7
+    # CLI wiring: the flag lands in the experiment config.
+    from focused_attention_vit_tpu.cli import parse_args
+
+    args = parse_args(["--experiment", "sppp", "--slic_iters", "6"])
+    assert args.slic_iters == 6
+
+
 def test_remat_policy_flag_mapping(dirs):
     """--remat_policy threads to the MHLA model; requires --remat; errors
     clearly on models without the knob (dense ViT has no band)."""
