@@ -399,93 +399,8 @@ def _roll_fwd(q, k, v, seed_arr, window_size, rate):
     return out, (q, k, v, seed_arr, wts)
 
 
-def _xla_band_bwd_from_wts(q, k, v, wts, g, w: int):
-    """Hybrid backward (``FAVIT_ROLL_BWD=xla``, rate=0 only): the band's
-    VJP expressed in plain XLA ops from the forward-saved weights.
-
-    History (BASELINE.md "attack #5"/"attack #8"): in round 3 the Pallas
-    backward measured 22.4 ms (dominated, as the round-4 ablation later
-    showed, by XLA overlap-add post-processing of per-tile dk/dv — not
-    by the kernel), so this hybrid (roll fwd + XLA band VJP from the
-    saved weights) was the best split at band level. Round 4's in-kernel
-    dkv accumulation dropped the full-Pallas fwd+bwd to 15.9 ms vs the
-    shift band's 25.6, making the Pallas backward the production
-    training path; this hybrid remains as the measured A/B twin behind
-    ``FAVIT_ROLL_BWD=xla``.
-
-    Only valid when no attention-weight dropout was applied: the
-    kernel's in-kernel Mosaic PRNG stream cannot be reproduced by XLA,
-    so rate>0 stays on the Pallas backward (the caller gates this).
-    """
-    b, h, d, s = q.shape
-    bh = b * h
-    _, _, s_pad = _tiling(s, w)
-    scale = d**-0.5
-    wts_b = wts[:, :w]  # [bh, w, s_pad] f32 (pre-dropout == final at rate 0)
-
-    k_ext = _extend(k.reshape(bh, d, s), s, w, s_pad)
-    v_ext = _extend(v.reshape(bh, d, s), s, w, s_pad)
-    q_p = jnp.pad(q.reshape(bh, d, s), ((0, 0), (0, 0), (0, s_pad - s)))
-    g_p = jnp.pad(
-        g.reshape(bh, d, s).astype(q.dtype),
-        ((0, 0), (0, 0), (0, s_pad - s)),
-    )
-    k_sh = [
-        jax.lax.slice_in_dim(k_ext, o, o + s_pad, axis=2) for o in range(w)
-    ]
-    v_sh = [
-        jax.lax.slice_in_dim(v_ext, o, o + s_pad, axis=2) for o in range(w)
-    ]
-
-    # dL/d(weights): u_o = Σ_d g·v_sh_o (input-dtype products, f32
-    # accumulate — the band's convention, ops/window "attack #2").
-    u = jnp.stack(
-        [
-            jnp.einsum(
-                "bds,bds->bs", g_p, vo,
-                preferred_element_type=jnp.float32,
-            )
-            for vo in v_sh
-        ],
-        axis=1,
-    )  # [bh, w, s_pad]
-    dot = jnp.sum(wts_b * u, axis=1, keepdims=True)
-    dlog = wts_b * (u - dot) * scale  # softmax bwd · logit scale, f32
-
-    # Large elementwise passes follow XLA-autodiff dtype discipline:
-    # cotangents in the primal dtype (bf16 in production) — the first
-    # cut accumulated in f32 and measured 27 ms bwd-only vs the shift
-    # path's ~15 (2× HBM bytes on every [bh,d,S]-sized read/accumulate).
-    # The f32→bf16 rounding happens on the small [bh,w,S] factors, not
-    # on the d-sized tensors.
-    dlog_c = dlog.astype(q.dtype)
-    wts_c = wts_b.astype(q.dtype)
-    dq = sum(dlog_c[:, o : o + 1] * k_sh[o] for o in range(w))
-    dq = dq[:, :, :s].reshape(b, h, d, s).astype(q.dtype)
-
-    # dk_ext/dv_ext: offset o's contribution lands on ext lanes [o, o+S).
-    # Padded-query lanes contribute zero (g=0 there ⇒ u=0 ⇒ dlog=0).
-    ext_w = s_pad + w - 1
-    dk_ext = sum(
-        jnp.pad(dlog_c[:, o : o + 1] * q_p, ((0, 0), (0, 0), (o, w - 1 - o)))
-        for o in range(w)
-    )
-    dv_ext = sum(
-        jnp.pad(wts_c[:, o : o + 1] * g_p, ((0, 0), (0, 0), (o, w - 1 - o)))
-        for o in range(w)
-    )
-    assert dk_ext.shape[-1] == ext_w
-    fold = jax.vmap(lambda x: _fold_ext(x, s, w))
-    dk = fold(dk_ext).astype(k.dtype).reshape(b, h, d, s)
-    dv = fold(dv_ext).astype(v.dtype).reshape(b, h, d, s)
-    return dq, dk, dv
-
-
 def _roll_bwd(window_size, rate, res, g):
     q, k, v, seed_arr, wts = res
-    if rate == 0.0 and os.environ.get("FAVIT_ROLL_BWD", "kernel") == "xla":
-        dq, dk, dv = _xla_band_bwd_from_wts(q, k, v, wts, g, window_size)
-        return dq, dk, dv, np.zeros((1,), dtype=jax.dtypes.float0)
     b, h, d, s = q.shape
     w = window_size
     bh = b * h

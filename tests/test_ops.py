@@ -534,61 +534,6 @@ class TestWindowedAttention:
                 float(dv[0, 0, 3, lane]), float(fd), rtol=1e-3, atol=1e-3
             )
 
-    @pytest.mark.parametrize("s,w", [(900, 7), (640, 7), (197, 5)])
-    def test_roll_band_xla_bwd_matches_oracle(self, rng, s, w, monkeypatch):
-        """FAVIT_ROLL_BWD=xla — the hybrid backward (roll Pallas fwd +
-        hand-written XLA band VJP from the fwd-saved weights,
-        ops/mhla_band_roll._xla_band_bwd_from_wts) must produce the same
-        grads as the shift-band oracle, incl. duplicated-edge-key
-        multiplicity and across the 640-lane tile boundary (s=900).
-        Dropout>0 must stay on the Pallas backward (mask streams are not
-        XLA-reproducible) — pinned by the grad-still-FD-exact check."""
-        import focused_attention_vit_tpu.ops.window as W
-        from focused_attention_vit_tpu.ops.mhla_band_roll import (
-            roll_banded_attention_bhsd,
-        )
-
-        monkeypatch.setenv("FAVIT_ROLL_BWD", "xla")
-        b, h, d = 2, 2, 32
-        q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
-        k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
-        v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
-        g = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
-        g_or = jax.grad(
-            lambda q, k, v: (W._shift_banded_attention(q, k, v, w) * g).sum(),
-            argnums=(0, 1, 2),
-        )(q, k, v)
-        g_ro = jax.grad(
-            lambda q, k, v: (roll_banded_attention_bhsd(q, k, v, w) * g).sum(),
-            argnums=(0, 1, 2),
-        )(q, k, v)
-        for a, b_ in zip(g_ro, g_or):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-4
-            )
-
-        # rate>0 under FAVIT_ROLL_BWD=xla: must fall back to the Pallas
-        # backward — the VJP wrt V stays exactly the fwd difference
-        # quotient (same in-kernel mask fwd/bwd).
-        from focused_attention_vit_tpu.ops.mhla_band_roll import (
-            roll_banded_attention,
-        )
-
-        qm, km, vm = (x.transpose(0, 1, 3, 2) for x in (q, k, v))
-        rate = 0.3
-        dv = jax.grad(
-            lambda v_: roll_banded_attention(qm, km, v_, w, (rate, 7)).sum()
-        )(vm)
-        eps, lane = 0.5, 10
-        probe = jnp.zeros_like(vm).at[0, 0, 3, lane].set(eps)
-        fd = (
-            roll_banded_attention(qm, km, vm + probe, w, (rate, 7)).sum()
-            - roll_banded_attention(qm, km, vm, w, (rate, 7)).sum()
-        ) / eps
-        np.testing.assert_allclose(
-            float(dv[0, 0, 3, lane]), float(fd), rtol=1e-3, atol=1e-3
-        )
-
     @pytest.mark.parametrize("s,w", [(40, 7), (33, 5), (100, 3), (64, 4),
                                      (197, 7), (9, 7)])
     def test_ds_layout_matches_gather(self, rng, s, w):

@@ -53,11 +53,36 @@ def device_op_totals(xspace):
     return totals, counts
 
 
+def category_totals(totals, counts):
+    """Aggregate ``%opname.N = ...`` events by opname prefix, skipping
+    wrapper events (jit_*, while, bare module ids) that double-count
+    their children — the round-4 view that exposed the SPPP and roll-bwd
+    decompositions when per-fusion names were too fragmented (no
+    scan/remat → every fusion unique)."""
+    import re
+
+    cat_t, cat_n = defaultdict(float), defaultdict(int)
+    for nm, us in totals.items():
+        if nm.startswith("jit_") or re.fullmatch(r"\d+", nm):
+            continue
+        m = re.match(r"%([a-zA-Z_][\w-]*?)[.\d]*\s*=", nm)
+        key = m.group(1) if m else nm.split(" ")[0][:40]
+        if key == "while":
+            continue
+        cat_t[key] += us
+        cat_n[key] += counts[nm]
+    return cat_t, cat_n
+
+
 def main():
-    profile_dir = sys.argv[1]
-    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    args = [a for a in sys.argv[1:] if a != "--by-category"]
+    by_cat = "--by-category" in sys.argv
+    profile_dir = args[0]
+    top_n = int(args[1]) if len(args) > 1 else 25
     path, xs = load_spaces(profile_dir)[-1]  # latest capture
     totals, counts = device_op_totals(xs)
+    if by_cat:
+        totals, counts = category_totals(totals, counts)
     grand = sum(totals.values())
     print(f"# {path}")
     print(f"# device busy total: {grand/1e3:.2f} ms")
