@@ -35,6 +35,7 @@ def _cols(path):
     return list(pd.read_csv(path).columns)
 
 
+@pytest.mark.slow
 def test_traditional(dirs):
     e = exp.TraditionalViTExperiment(**TINY, **dirs)
     e.run()
@@ -48,6 +49,7 @@ def test_traditional(dirs):
     ]
 
 
+@pytest.mark.slow
 def test_sppp(dirs):
     e = exp.SPPPExperiment(**TINY, **dirs, num_superpixels=4)
     e.run()
@@ -61,6 +63,7 @@ def test_sppp(dirs):
     assert row["traditional_tokens"] == 17  # (16/4)²+1
 
 
+@pytest.mark.slow
 def test_mhla_pretrained_offline_fallback(dirs):
     """Without a cached checkpoint the experiment must fall back to random
     init (logged) and still produce the exp4 CSV with LR-group counts.
@@ -82,6 +85,7 @@ def test_mhla_pretrained_offline_fallback(dirs):
     assert row["trainable_parameters"] == row["total_parameters"]
 
 
+@pytest.mark.slow
 def test_mhla_pretrained_freeze(dirs):
     e = exp.PretrainedMHLAViTExperiment(
         **TINY, **dirs, window_size=5, freeze_layers=True
@@ -95,6 +99,7 @@ def test_mhla_pretrained_freeze(dirs):
     assert 0 < row["trainable_parameters"] < row["total_parameters"]
 
 
+@pytest.mark.slow
 def test_cross_attention_sppp_multihead(dirs):
     e = exp.CrossAttentionExperiment(
         **TINY, **dirs, use_sppp=True, use_multi_head=True, num_superpixels=4
@@ -107,6 +112,7 @@ def test_cross_attention_sppp_multihead(dirs):
     assert "use_multi_head" in cols and "num_superpixels" in cols
 
 
+@pytest.mark.slow
 def test_sppp_mhla_cifar100(dirs):
     """BASELINE.json config #4: combined SPPP+MHLA on CIFAR-100 (synthetic
     fallback here — 100-class shape contract)."""
@@ -121,6 +127,7 @@ def test_sppp_mhla_cifar100(dirs):
     assert e.data["num_classes"] == 100
 
 
+@pytest.mark.slow
 def test_freeze_layers_list(dirs):
     """List-valued freeze_layers freezes matching parameter paths
     (reference: utils/data_utils.py:535-539)."""
@@ -141,6 +148,7 @@ def test_freeze_layers_list(dirs):
             assert label == "latent"
 
 
+@pytest.mark.slow
 def test_visualize_outputs(dirs):
     from focused_attention_vit_tpu.cli import _save_visualizations, parse_args
 
@@ -195,6 +203,7 @@ def test_batch_runners_construct_all_four_configs(dirs, monkeypatch):
     assert seen[1][3] == "exp5_multihead_cross_attention_sppp.csv"
 
 
+@pytest.mark.slow
 def test_cli_dispatch(dirs, capsys):
     """The CLI must dispatch every experiment name without the reference's
     import crashes (main.py:41-43)."""
@@ -378,6 +387,7 @@ def test_slic_iters_threads_to_model(dirs):
     assert args.slic_iters == 6
 
 
+@pytest.mark.slow
 def test_remat_policy_flag_mapping(dirs):
     """--remat_policy threads to the MHLA model; requires --remat; errors
     clearly on models without the knob (dense ViT has no band)."""
@@ -411,6 +421,7 @@ def test_remat_policy_flag_mapping(dirs):
     ).setup()
 
 
+@pytest.mark.slow
 def test_mhla_pretrained_scan_layers_pp(dirs):
     """--scan_layers on a pretrained experiment: loop-form merge is stacked
     to the scan form (pretrained_common.build_params), enabling --pp; a
@@ -454,6 +465,7 @@ def test_mhla_auto_microbatch_geometry_rule(dirs):
     assert e._effective_microbatch() == 1
 
 
+@pytest.mark.slow
 def test_elastic_resume_across_mesh_sizes(dirs, tmp_path):
     """Auto-resume is topology-elastic end-to-end through the experiment
     pipeline: a segment trained on an 8-device FSDP mesh resumes on a
@@ -505,6 +517,7 @@ def test_elastic_resume_across_mesh_sizes(dirs, tmp_path):
     ) < 1e-5
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_continues_global_step(dirs, tmp_path):
     """Auto-resume continues the GLOBAL checkpoint numbering: a 2-epoch
     run leaves steps {1,2}; rerunning the same config at 4 epochs resumes
@@ -574,6 +587,7 @@ def test_predictor_empty_batch_returns_empty(dirs):
     assert out.shape == (0, 7)
 
 
+@pytest.mark.slow
 def test_fsdp_experiment_end_to_end(dirs):
     """--fsdp through the full experiment pipeline: train + eval + detailed
     metrics + CSV on an 8-device mesh with ZeRO-3-sharded state. The
@@ -593,6 +607,7 @@ def test_fsdp_experiment_end_to_end(dirs):
     assert fc1.addressable_shards[0].data.size * 8 == fc1.size
 
 
+@pytest.mark.slow
 def test_mesh_microbatch_indivisible_rejected(dirs):
     """--microbatch composes with a mesh (gradient accumulation with
     batch-sharded chunks), but a chunk that does not split evenly over
@@ -604,12 +619,14 @@ def test_mesh_microbatch_indivisible_rejected(dirs):
         e.run()
 
 
+@pytest.mark.slow
 def test_negative_microbatch_rejected(dirs):
     e = exp.TraditionalViTExperiment(**TINY, **dirs, microbatch=-1)
     with pytest.raises(ValueError, match="positive"):
         e.run()
 
 
+@pytest.mark.slow
 def test_sppp_scan_layers_rejected(dirs):
     """SPPP models have no scan/remat support — the flag must error, not
     silently no-op (the --pp error message even told users to pass it)."""

@@ -141,6 +141,7 @@ class TestOptimizerWiring:
 
 
 class TestExperimentIntegration:
+    @pytest.mark.slow
     def test_traditional_with_schedule_and_clip(self, tmp_path):
         from focused_attention_vit_tpu import experiments as exp
 
@@ -153,6 +154,7 @@ class TestExperimentIntegration:
         e.run()
         assert (tmp_path / "r" / "exp1_traditional.csv").exists()
 
+    @pytest.mark.slow
     def test_lr_for_uses_run_length(self, tmp_path):
         from focused_attention_vit_tpu import experiments as exp
 
@@ -308,6 +310,7 @@ class TestMuDtype:
         assert mu_fc1.dtype == jnp.bfloat16
         assert mu_fc1.addressable_shards[0].data.size * 8 == mu_fc1.size
 
+    @pytest.mark.slow
     def test_experiment_and_grouped_wiring(self, tmp_path):
         from focused_attention_vit_tpu import experiments as exp
         from focused_attention_vit_tpu.train.state import (

@@ -520,6 +520,7 @@ class TestSequenceParallel:
             p_1,
         )
 
+    @pytest.mark.slow
     def test_sp_band_dropout_trains_finite(self):
         """Train-mode attention-weight dropout under SP (per-shard folded
         keys) produces finite outputs that differ from deterministic."""
@@ -726,6 +727,7 @@ class TestPipelineParallel:
             p_1,
         )
 
+    @pytest.mark.slow
     def test_pp_honors_remat_policy(self, monkeypatch):
         """--remat_policy must reach jax.checkpoint in the pipelined path
         (review finding: apply_pipelined_blocks used plain jax.checkpoint,
@@ -952,6 +954,7 @@ class TestFSDP:
                 np.asarray(a), np.asarray(b), atol=2e-5, err_msg=str(p1)
             )
 
+    @pytest.mark.slow
     def test_fsdp_requires_mesh(self):
         import focused_attention_vit_tpu.experiments.traditional as tr
 

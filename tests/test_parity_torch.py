@@ -504,6 +504,7 @@ class TestTrainingDynamicsParity:
                 )
             assert np.array_equal(np.asarray(params["frozen"]), p0["frozen"])
 
+    @pytest.mark.slow
     def test_f64_train_step_trajectory(self, tmp_path):
         """3 AdamW steps through the production jitted train step track the
         torch reference at ≤1e-5 per leaf in float64 (subprocess: enabling

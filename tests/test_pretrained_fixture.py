@@ -30,6 +30,7 @@ def fixture_ckpt():
     return FIXTURE
 
 
+@pytest.mark.slow
 def test_e3_setup_loads_fixture(fixture_ckpt, tmp_path, caplog):
     from focused_attention_vit_tpu.experiments.traditional_pretrained import (
         PretrainedTraditionalViTExperiment,

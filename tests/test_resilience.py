@@ -140,6 +140,7 @@ CLI_ARGS = [
 ]
 
 
+@pytest.mark.slow
 def test_cli_sigterm_preemption_and_resume(tmp_path):
     """End-to-end: SIGTERM mid-training → exit 143 with a committed
     checkpoint → rerunning the same command resumes and completes."""
