@@ -341,7 +341,8 @@ def _pallas(fn, grid, in_specs, out_specs, out_shape):
     )
 
 
-def _fwd_impl(q, k, v, seed_arr, window_size, rate, save_wts: bool):
+def _fwd_impl(q, k, v, seed_arr, window_size, rate, save_wts: bool,
+              return_ext: bool = False):
     b, h, d, s = q.shape
     w = window_size
     bh = b * h
@@ -391,24 +392,34 @@ def _fwd_impl(q, k, v, seed_arr, window_size, rate, save_wts: bool):
     )(seed_arr, q_p, k_ext, v_ext)
     out, wts = res if save_wts else (res[0], None)
     out = out[:, :, :s].reshape(b, h, d, s)
+    if return_ext:
+        # Residual handoff to the backward: the halo-extended K/V are
+        # saved INSTEAD of k/v, so the bwd skips rebuilding them — two
+        # [bh, d, s_pad+_HALO] concat+pad passes (~650 MB/layer of HBM
+        # at the bench geometry) deleted from every backward.
+        return out, wts, k_ext, v_ext
     return out, wts
 
 
 def _roll_fwd(q, k, v, seed_arr, window_size, rate):
-    out, wts = _fwd_impl(q, k, v, seed_arr, window_size, rate, save_wts=True)
-    return out, (q, k, v, seed_arr, wts)
+    out, wts, k_ext, v_ext = _fwd_impl(
+        q, k, v, seed_arr, window_size, rate, save_wts=True,
+        return_ext=True,
+    )
+    return out, (q, k_ext, v_ext, seed_arr, wts)
 
 
 def _roll_bwd(window_size, rate, res, g):
-    q, k, v, seed_arr, wts = res
+    q, k_ext, v_ext, seed_arr, wts = res
     b, h, d, s = q.shape
+    # _extend preserves dtype, so the primal k/v dtypes are recoverable
+    # from the saved extended buffers.
+    q_dtype, k_dtype, v_dtype = q.dtype, k_ext.dtype, v_ext.dtype
     w = window_size
     bh = b * h
     t, n_tiles, s_pad = _tiling(s, w)
     wp = wts.shape[1]
 
-    k_ext = _extend(k.reshape(bh, d, s), s, w, s_pad)
-    v_ext = _extend(v.reshape(bh, d, s), s, w, s_pad)
     q_p = jnp.pad(q.reshape(bh, d, s), ((0, 0), (0, 0), (0, s_pad - s)))
     g_p = jnp.pad(
         g.reshape(bh, d, s).astype(q.dtype),
@@ -444,9 +455,9 @@ def _roll_bwd(window_size, rate, res, g):
     )(seed_arr, q_p, k_ext, v_ext, g_p, wts)
 
     fold = jax.vmap(lambda x: _fold_ext(x, s, w))
-    dk = fold(dkv[:, :d]).astype(k.dtype).reshape(b, h, d, s)
-    dv = fold(dkv[:, d:]).astype(v.dtype).reshape(b, h, d, s)
-    dq = dq[:, :, :s].reshape(b, h, d, s).astype(q.dtype)
+    dk = fold(dkv[:, :d]).astype(k_dtype).reshape(b, h, d, s)
+    dv = fold(dkv[:, d:]).astype(v_dtype).reshape(b, h, d, s)
+    dq = dq[:, :, :s].reshape(b, h, d, s).astype(q_dtype)
     # seed is integer-typed: its cotangent is float0.
     dseed = np.zeros((1,), dtype=jax.dtypes.float0)
     return dq, dk, dv, dseed
