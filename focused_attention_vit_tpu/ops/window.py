@@ -26,11 +26,16 @@ even case as the asymmetric window [i-hw, i+hw-1] with the same edge-padding
 rules, which degrades gracefully and agrees with the odd case construction.
 
 TPU notes: this module provides the correctness-first gather formulation
-(``jnp.take`` along the key axis). The production path for long sequences
-is the XLA shift-banded formulation below; the archival tile-band Pallas
-kernel (:mod:`focused_attention_vit_tpu.ops.mhla_kernel_v4`) implements
-the same numerics without materializing the ``[B, h, S, W, d]`` window
-tensor and is opt-in (measured slower on v5e — BASELINE.md roofline).
+(``jnp.take`` along the key axis). Long-sequence production: on a real
+TPU backend the MHLA module dispatches to the Pallas lane-roll kernel
+(:mod:`focused_attention_vit_tpu.ops.mhla_band_roll` — fwd AND training
+since round 4, BASELINE.md "attack #8"); the XLA shift-banded
+formulation below is the portable path (CPU/other backends, sequence
+parallelism, masked attention) and the oracle the kernel is pinned
+against. The archival tile-band Pallas kernel
+(:mod:`focused_attention_vit_tpu.ops.mhla_kernel_v4`) is the record of
+the closed v1-v4b investigation, opt-in (measured slower on v5e —
+BASELINE.md roofline).
 """
 
 from __future__ import annotations
