@@ -30,10 +30,13 @@ reference's circular edge rule with duplicated-key softmax multiplicity
 with key 0) via the same halo layout (``k_ext[j] = key(j - W//2)``), and
 optional train-mode attention-weight dropout (one Bernoulli per window
 slot, reference models/mhla.py:146-147) drawn by the in-kernel TPU PRNG —
-the mask is recomputed from the same per-(b·h, tile) seed in the backward
-kernel, so nothing but q/k/v is saved for backward. RNG stream parity
-with the XLA path is explicitly not promised (SURVEY §7) — rate and
-independence semantics are identical.
+the mask is recomputed from the same per-(b·h, mask-block) seed in the
+backward kernel, so the backward's residuals are just q, the
+halo-extended K/V (saved instead of rebuilt — round 4), and the
+pre-dropout band weights (f32 [bh, 8, s_pad], ~0.1 ms of HBM at the
+bench geometry — saves recomputing the W logit reduces + softmax). RNG
+stream parity with the XLA path is explicitly not promised (SURVEY §7)
+— rate and independence semantics are identical.
 
 Layout contract: q/k/v arrive ``[B, h, d, S]`` (S-minor, the layout the
 qkv einsum can emit directly — ``bsD,Dhd->bhds``); output matches. The
