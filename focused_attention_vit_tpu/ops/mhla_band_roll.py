@@ -88,7 +88,14 @@ def _keep_mask(shape, rate: float, seed, b, i):
             jax.random.fold_in(jax.random.PRNGKey(seed), b), i
         )
         return jax.random.uniform(key, shape) >= rate
-    pltpu.prng_seed(seed, b, i)
+    # This Mosaic's prng_seed accepts at most TWO scalars ("Setting seed
+    # with more than 2 values is not supported" — compile error measured
+    # on the chip, round 4; the 3-value form silently only worked in
+    # interpret mode where the threefry stand-in runs instead). Fold
+    # (b, i) into one scalar: distinct per (row, mask-block) for
+    # b < 2^15 rows and i < 2^16 blocks — far above any real geometry
+    # (bench: b·h = 384, 5 blocks).
+    pltpu.prng_seed(seed, b * 65536 + i)
     bits = pltpu.prng_random_bits(shape)  # int32-typed uniform bits
     # uint32 uniform threshold: keep iff U32 >= rate * 2^32. Compare in
     # uint32 so the sign bit doesn't split the range.
