@@ -89,7 +89,7 @@ class CrossAttentionExperiment(PretrainedMixin, ExperimentBase):
                 compactness=self.compactness,
                 pooling_type=self.pooling_type,
                 slic_connectivity=self._slic_connectivity(),
-            slic_iters=self.slic_iters,
+                slic_iters=self.slic_iters,
                 **common,
             )
         return CrossAttentionViT(**common)

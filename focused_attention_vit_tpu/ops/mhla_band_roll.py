@@ -68,6 +68,11 @@ if DEFAULT_TILE <= 0 or DEFAULT_TILE % 128:
     )
 _HALO = 128  # lane-aligned halo: covers any o < 128 ≥ W-1
 
+# Forward tile-widening budget: the d=64 / s_pad=6400 single-tile working
+# set the round-4 sweep validated on chip (≈ 8.5 MB — comfortably inside
+# the 16 MB scoped-VMEM limit with Mosaic's own overheads).
+_WIDEN_VMEM_BYTES = (2 * 64 * (6400 + _HALO) + 3 * 64 * 6400 + 8 * 6400) * 4
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -361,16 +366,31 @@ def _fwd_impl(q, k, v, seed_arr, window_size, rate, save_wts: bool,
     # 7.6 ms at the bench geometry (round-4 sweep — fewer grid steps,
     # same VPU work; the BACKWARD at one tile blows the 16 MB scoped-VMEM
     # limit on its [2d, ext] accumulator, so _roll_bwd keeps _tiling's).
-    # Constraints: s_pad is unchanged (t·n is the same product) and VMEM
-    # ≈ (2d·(s_pad+_HALO) + 3·d·s_pad + 8·s_pad)·4 B must fit — gate at
-    # s_pad ≤ 6400 (≈ 7 MB at d=64). Dropout masks stay consistent with
-    # the backward's narrow tiling because they are drawn in
-    # _tiling-sized blocks regardless of execution tile
-    # (:func:`_keep_mask_tiled`, pinned by
+    # Constraints: s_pad is unchanged (t·n is the same product) and the
+    # single-tile VMEM working set — estimated as
+    # (2d·(s_pad+_HALO) + 3·d·s_pad + 8·s_pad)·4 B — must fit. The gate
+    # is the byte estimate itself (not a fixed s_pad: at d ≥ ~128 a
+    # 6400-lane tile would exceed the 16 MB scoped-VMEM limit), capped at
+    # the d=64 / s_pad=6400 envelope the round-4 sweep validated on chip
+    # (≈ 8.5 MB). Dropout masks stay consistent with the backward's
+    # narrow tiling because they are drawn in _tiling-sized blocks
+    # regardless of execution tile (:func:`_keep_mask_tiled`, pinned by
     # test_roll_band_dropout_semantics' FD checks).
     mask_block = t
-    if n_tiles > 1 and s_pad <= 6400:
+    widen_bytes = (2 * d * (s_pad + _HALO) + 3 * d * s_pad + 8 * s_pad) * 4
+    if n_tiles > 1 and widen_bytes <= _WIDEN_VMEM_BYTES:
         t, n_tiles = s_pad, 1
+    if rate > 0.0 and (bh >= 2**15 or s_pad // mask_block >= 2**16):
+        # The in-kernel PRNG folds (row, mask-block) into ONE seed scalar
+        # (b·2¹⁶ + i — this Mosaic's prng_seed takes at most two values);
+        # beyond these bounds the fold wraps int32 / aliases streams, so
+        # fail loudly instead of silently reusing dropout masks.
+        raise ValueError(
+            f"roll-band dropout seed fold supports b*h < 2**15 rows and "
+            f"< 2**16 mask blocks per row (got bh={bh}, "
+            f"blocks={s_pad // mask_block}); split the batch or use the "
+            f"shift path"
+        )
 
     qf = q.reshape(bh, d, s)
     k_ext = _extend(k.reshape(bh, d, s), s, w, s_pad)

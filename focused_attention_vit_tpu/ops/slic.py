@@ -20,9 +20,19 @@ Faithfulness notes (SURVEY.md §7 hard part 1):
   neighbourhood — with R = 16 segments that is a [H·W, R] distance matrix,
   cheaper on TPU than irregular neighbourhood gathers, and a strict superset
   of the neighbourhood search;
-* skimage's final connectivity enforcement is intentionally omitted: the
-  SPPP pipeline only consumes the *dominant segment per patch*
-  (models/sppp.py:117-126), which is insensitive to stray pixels.
+* skimage's final connectivity enforcement IS implemented, as a
+  four-mode subsystem (``--slic_connectivity = auto|on|off|host``, see
+  :func:`slic_segment`): ``host`` runs the C++ union-find relabeller
+  (native/connectivity.cpp) via a pure_callback — pixel-exact vs skimage on
+  5/6 of the 224² golden images, 0.998 mean patch-dominant agreement
+  (tests/fixtures/slic_golden_224.npz); ``on`` forces the in-jit
+  device relabel+merge pass (agreement 0.831 at 224², golden-exact at
+  ≤64²); ``off`` skips enforcement (0.662 at 224² — measured to matter,
+  which is why omission is NOT the default). ``auto`` picks the device
+  pass at ≤64² pixels, the host kernel above that on runtimes where
+  callbacks work, and falls back to off (with the measured cost in the
+  warning text) only under the axon tunnel where host callbacks cannot
+  cross.
 
 skimage converts RGB inputs to CIELAB before clustering; the reference feeds
 it *normalized* tensors (mean/std-standardized, not in [0, 1]), for which LAB

@@ -4,8 +4,8 @@ FAVIT_MHLA_IMPL=roll (v5 lane-roll band kernel).
 Run (TPU): PYTHONPATH=/root/repo:/root/.axon_site python tools/ab_roll_e2e.py
 Env: AB_MB (default 4), AB_SCAN (default 0), AB_REMAT (default 0),
 AB_DROPOUT (default 0.1), AB_IMPLS (comma list), AB_MODE (train|eval).
-FAVIT_ROLL_BWD=xla selects the hybrid backward (roll Pallas fwd + XLA
-band VJP from saved weights) for the roll impl.
+(The round-3 FAVIT_ROLL_BWD=xla hybrid backward was removed in round 4
+when the in-kernel dkv accumulation made the Pallas backward win.)
 
 Round-3 staging measured the old production config (remat+scan+mb8,
 36.6 img/s); defaults now match the attack-#6 production config
