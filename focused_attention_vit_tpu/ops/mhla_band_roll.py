@@ -197,20 +197,23 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, w_ref=None, *,
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, w_ref,
-                dq_ref, dkv_ref, *,
-                w: int, t: int, scale: float, rate: float,
+                dq_ref, dk_ref, dv_ref, acc_ref, *,
+                w: int, t: int, s: int, scale: float, rate: float,
                 mask_block: int = 0):
     """Per query-tile: reload the fwd's saved band weights (re-deriving
     only the dropout mask from the seed), emit dq [d,T] and accumulate
     this tile's stacked dk/dv contribution [2d,T+_HALO] into the
-    PERSISTENT whole-row output block ``dkv_ref`` [2d, s_pad+_HALO]
-    (index map independent of the tile axis, so the block stays resident
-    in VMEM across the row's tiles — the standard Pallas reduction
-    pattern). The round-3 design emitted per-tile contributions
-    ([bh, n_tiles, 2d, ext] = 755 MB f32 at the bench geometry) and
-    overlap-added them in XLA — the round-4 ablation measured the kernel
-    itself at 6.2 ms and that XLA post-processing at ~2/3 of the 22.4 ms
-    backward; in-kernel accumulation deletes it (BASELINE.md round-4).
+    PERSISTENT f32 VMEM scratch ``acc_ref`` [2d, s_pad+_HALO] (scratch
+    persists across the sequential grid, so the row's tiles overlap-add
+    in place — 1.7 MB resident at the bench geometry). On the row's LAST
+    tile the halo fold (ops-level ``_fold_ext``: core shift by W//2,
+    edge-duplicate lanes accumulated into rows S-1 / 0) runs IN-KERNEL
+    and dk/dv are written once in the PRIMAL dtype — round-5: deletes
+    both the [bh, 2d, s_pad+_HALO] f32 HBM round-trip (654 MB/layer at
+    the bench geometry) and the XLA fold pass that re-read it (the
+    round-4 design wrote the f32 accumulator to HBM and folded in XLA;
+    the round-3 one emitted per-tile contributions, 755 MB + overlap-add
+    — BASELINE.md attacks #8 and round-5).
     K‖V views and dk‖dv scatters each roll as ONE [2d, ·] rotate per
     offset (rotates dominated the first-cut bwd's 22.6 ms:
     24 per tile → 12 here)."""
@@ -221,7 +224,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, w_ref,
 
     @pl.when(i == 0)
     def _init():
-        dkv_ref[0] = jnp.zeros_like(dkv_ref[0])
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0].astype(jnp.float32)
     g = g_ref[0].astype(jnp.float32)
@@ -265,10 +268,42 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, w_ref,
         # tile-local lanes [o, o+T) by rolling right o lanes.
         dkv_tile = dkv_tile + (pltpu.roll(ckv, shift=o, axis=1) if o else ckv)
     dq_ref[0] = dq.astype(dq_ref.dtype)
-    # Accumulate into the persistent row block at this tile's lane window
+    # Accumulate into the persistent scratch at this tile's lane window
     # (i·T is a lane-tile multiple — aligned slice).
-    win = dkv_ref[0, :, pl.ds(i * t, ext)]
-    dkv_ref[0, :, pl.ds(i * t, ext)] = win + dkv_tile
+    win = acc_ref[:, pl.ds(i * t, ext)]
+    acc_ref[:, pl.ds(i * t, ext)] = win + dkv_tile
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _fold_and_emit():
+        # In-kernel halo fold (the transpose of _extend — see _fold_ext):
+        # core[:, j] = acc[:, j + hw]; the hw left-edge duplicate lanes
+        # accumulate into row S-1, the (w-1-hw) right-edge ones into
+        # row 0. All rolls/selects on f32 (Mosaic rotate is 32-bit-only).
+        acc = acc_ref[...]
+        hw = w // 2
+        s_pad = dk_ref.shape[2]
+        if hw:
+            core = pltpu.roll(
+                acc, shift=acc.shape[1] - hw, axis=1
+            )[:, :s_pad]
+            lanes = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+            left = jnp.sum(
+                jnp.where(lanes < hw, acc, 0.0), axis=1, keepdims=True
+            )
+            core_lanes = jax.lax.broadcasted_iota(jnp.int32, core.shape, 1)
+            core = jnp.where(core_lanes == s - 1, core + left, core)
+        else:
+            core = acc[:, :s_pad]
+        if w - 1 - hw:
+            lanes = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+            right = jnp.sum(
+                jnp.where((lanes >= hw + s) & (lanes < s + w - 1), acc, 0.0),
+                axis=1, keepdims=True,
+            )
+            core_lanes = jax.lax.broadcasted_iota(jnp.int32, core.shape, 1)
+            core = jnp.where(core_lanes == 0, core + right, core)
+        dk_ref[0] = core[:d].astype(dk_ref.dtype)
+        dv_ref[0] = core[d:].astype(dv_ref.dtype)
 
 
 def _extend(x, s: int, w: int, s_pad: int):
@@ -294,7 +329,10 @@ def _tiling(s: int, w: int):
 
 def _fold_ext(d_ext, s: int, w: int):
     """Fold an x_ext cotangent back to [d, S] (edge copies accumulate
-    into rows S-1 / 0 — the halo-pad transpose)."""
+    into rows S-1 / 0 — the halo-pad transpose). Reference semantics for
+    the backward kernel's in-kernel fold (``_bwd_kernel._fold_and_emit``,
+    which performs exactly this on the f32 scratch accumulator before the
+    single primal-dtype write); kept as the executable spec."""
     hw = w // 2
     core = d_ext[:, hw : hw + s]
     if hw:
@@ -345,13 +383,14 @@ def roll_banded_attention(q, k, v, window_size: int, dropout=(0.0, None)):
     return _roll_band_core(q, k, v, seed_arr, window_size, float(rate))
 
 
-def _pallas(fn, grid, in_specs, out_specs, out_shape):
+def _pallas(fn, grid, in_specs, out_specs, out_shape, scratch_shapes=()):
     return pl.pallas_call(
         fn,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=list(scratch_shapes),
         interpret=_interpret(),
     )
 
@@ -459,34 +498,34 @@ def _roll_bwd(window_size, rate, res, g):
     row_spec = pl.BlockSpec((1, d, s_pad + _HALO), lambda bb, i: (bb, 0, 0))
     tile_spec = pl.BlockSpec((1, d, t), lambda bb, i: (bb, 0, i))
     wts_spec = pl.BlockSpec((1, wp, t), lambda bb, i: (bb, 0, i))
-    # dkv: ONE persistent [2d, s_pad+_HALO] block per bh row — the index
-    # map ignores the tile axis, so Mosaic keeps it in VMEM across the
-    # row's tiles (1.7 MB f32 at the bench geometry) and the kernel
-    # overlap-adds in place; written to HBM once (151 MB vs the round-3
-    # per-tile layout's 755 MB + XLA overlap-add passes).
-    dkv_spec = pl.BlockSpec(
-        (1, 2 * d, s_pad + _HALO), lambda bb, i: (bb, 0, 0)
-    )
-    dq, dkv = _pallas(
-        functools.partial(_bwd_kernel, w=w, t=t, scale=d**-0.5, rate=rate,
-                          mask_block=t),
+    # dk/dv: ONE persistent [d, s_pad] primal-dtype block each per bh row
+    # (index map ignores the tile axis) — written ONCE on the row's last
+    # tile, after the in-kernel fold of the f32 scratch accumulator. At
+    # the bench geometry this is 2×154 MB bf16 per layer, vs the round-4
+    # design's 654 MB f32 dkv write + XLA fold re-read (band fwd+bwd
+    # 17.1 → 12.8 ms at BH=384 — BASELINE.md round-5).
+    dkv_spec = pl.BlockSpec((1, d, s_pad), lambda bb, i: (bb, 0, 0))
+    dq, dk, dv = _pallas(
+        functools.partial(_bwd_kernel, w=w, t=t, s=s, scale=d**-0.5,
+                          rate=rate, mask_block=t),
         grid=(bh, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             tile_spec, row_spec, row_spec, tile_spec, wts_spec,
         ],
-        out_specs=[tile_spec, dkv_spec],
+        out_specs=[tile_spec, dkv_spec, dkv_spec],
         out_shape=[
             jax.ShapeDtypeStruct((bh, d, s_pad), q.dtype),
-            jax.ShapeDtypeStruct(
-                (bh, 2 * d, s_pad + _HALO), jnp.float32
-            ),
+            jax.ShapeDtypeStruct((bh, d, s_pad), k_dtype),
+            jax.ShapeDtypeStruct((bh, d, s_pad), v_dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * d, s_pad + _HALO), jnp.float32)
         ],
     )(seed_arr, q_p, k_ext, v_ext, g_p, wts)
 
-    fold = jax.vmap(lambda x: _fold_ext(x, s, w))
-    dk = fold(dkv[:, :d]).astype(k_dtype).reshape(b, h, d, s)
-    dv = fold(dkv[:, d:]).astype(v_dtype).reshape(b, h, d, s)
+    dk = dk[:, :, :s].reshape(b, h, d, s)
+    dv = dv[:, :, :s].reshape(b, h, d, s)
     dq = dq[:, :, :s].reshape(b, h, d, s).astype(q_dtype)
     # seed is integer-typed: its cotangent is float0.
     dseed = np.zeros((1,), dtype=jax.dtypes.float0)
