@@ -47,11 +47,14 @@ def flash_attention_tpu(
         qp, kp, vp = q, k, v
         segment_ids = None
 
-    # Tuned on v5e at S=3137, d=64: small q blocks with the full K resident
-    # win for the forward (34.5 vs 28-32 TFLOP/s for square 512/1024
-    # blocks); the backward kernels carry more per-block state and OOM VMEM
-    # with a full-K block, so they use 512² tiles.
-    block_q = min(256, sp)
+    # Tuned on v5e at S=3137, d=64: q blocks with the full K resident win
+    # for the forward (round-5 re-sweep at BOTH the mb1 BH=12 regime and
+    # BH=384: block_q=512 beats 256 by 15% / 2.7% — /tmp sweep recorded
+    # in BASELINE.md "dense roofline round 5"; square 512/1024 blocks
+    # lose); the backward kernels carry more per-block state and OOM VMEM
+    # with a full-K block, so they use 512² tiles (re-swept best at both
+    # BH=384 and BH=12 — BASELINE.md).
+    block_q = min(512, sp)
     block_k = sp if sp <= 4096 else 1024
     block_bwd = min(512, sp)
     sizes = BlockSizes(
