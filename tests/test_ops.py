@@ -489,6 +489,23 @@ class TestWindowedAttention:
         with pytest.raises(ValueError, match="window_size"):
             roll_banded_attention(q, q, q, 130)
 
+    def test_roll_band_dropout_seed_fold_envelope_raises(self, rng):
+        """The in-kernel PRNG folds (row, mask-block) into ONE seed
+        scalar (b*2^16 + i — Mosaic's prng_seed takes at most two
+        values); b*h >= 2^15 would wrap/alias dropout streams, so it
+        must fail loudly (advisor round 4). Deterministic (rate=0) runs
+        at the same geometry stay allowed."""
+        from focused_attention_vit_tpu.ops.mhla_band_roll import (
+            roll_banded_attention,
+        )
+
+        q = jnp.zeros((2 ** 15, 1, 8, 16), jnp.bfloat16)
+        with pytest.raises(ValueError, match="seed fold"):
+            roll_banded_attention(q, q, q, 3, (0.1, 7))
+        # (rate=0 has no PRNG stream and stays allowed at any bh — but a
+        # 2^15-row grid is minutes in interpret mode, so the allowed leg
+        # is covered by the ordinary-geometry tests above.)
+
     @pytest.mark.parametrize("s", [300, 900])
     def test_roll_band_dropout_semantics(self, rng, s):
         """In-kernel band dropout: deterministic given seed, seed-
