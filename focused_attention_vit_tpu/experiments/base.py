@@ -399,12 +399,11 @@ class ExperimentBase:
         training is requested (--num_devices / --tp / --sp). The reference
         has no distributed layer (SURVEY.md §2.4); this is the TPU-native
         DP/TP/SP addition."""
-        if self.sp > 1 and self.pp > 1:
-            raise NotImplementedError(
-                "--sp and --pp cannot be combined (nested manual regions; "
-                "see models/vit_mhla.py) — pick one; both compose with "
-                "--num_devices DP and --tp"
-            )
+        # --sp composes with --pp since round 5: under PP the sequence
+        # axis stays AUTO (GSPMD-sharded shift band instead of the manual
+        # halo shard_map, which Shardy rejects inside the pipeline's
+        # manual region) — see models/vit_mhla.py / models/layers.py
+        # sp_gspmd.
         if (not self.num_devices and self.tp <= 1 and self.sp <= 1
                 and self.pp <= 1):
             return None

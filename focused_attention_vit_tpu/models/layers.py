@@ -347,6 +347,15 @@ class MultiHeadLatentAttention(nn.Module):
     use_fused_kernel: Optional[bool] = None
     sp_mesh: Optional[object] = None  # jax.sharding.Mesh — sequence parallel
     sp_axis: str = "seq"
+    # SP composed under PP (round 5): inside the pipeline's
+    # {'stage'}-manual shard_map a NESTED manual shard_map over 'seq' is
+    # rejected by the Shardy lowering ("operates on axis ... already
+    # bound by a parent sdy.manual_computation"), so the composition
+    # keeps 'seq' AUTO: tokens are sharding-constrained over sp_axis and
+    # the band runs the plain XLA shift formulation — the SPMD
+    # partitioner inserts the boundary collectives for the W shifted
+    # slices. Set by VisionTransformerMHLA when both meshes are given.
+    sp_gspmd: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -441,6 +450,37 @@ class MultiHeadLatentAttention(nn.Module):
 
         b, h, s, d = q.shape
         if (
+            self.sp_mesh is not None
+            and self.sp_gspmd
+            and s > 2 * self.window_size
+        ):
+            # SP×PP: GSPMD sequence sharding (see the sp_gspmd field doc).
+            # Numerically this IS the single-device shift band — the
+            # constraint only tells the partitioner where the token axis
+            # lives; masks and train-mode band-weight dropout ride the
+            # same paths as the single-device branches below.
+            amesh = jax.sharding.get_abstract_mesh()
+            if amesh is not None and self.sp_axis in getattr(
+                amesh, "axis_names", ()
+            ):
+                spec = jax.sharding.NamedSharding(
+                    amesh,
+                    jax.sharding.PartitionSpec(
+                        None, None, self.sp_axis, None
+                    ),
+                )
+                q, k, v = (
+                    jax.lax.with_sharding_constraint(t, spec)
+                    for t in (q, k, v)
+                )
+            wt = None
+            if self.dropout > 0.0 and not deterministic:
+                drop = nn.Dropout(self.dropout)
+                wt = lambda w_: drop(w_, deterministic=deterministic)
+            out = window_ops._shift_banded_attention(
+                q, k, v, self.window_size, wt, attention_mask
+            )
+        elif (
             self.sp_mesh is not None
             and attention_mask is None
             and s > 2 * self.window_size
@@ -589,6 +629,7 @@ class MHLATransformerBlock(nn.Module):
     attn_dropout: float = 0.0
     sp_mesh: Optional[object] = None
     sp_axis: str = "seq"
+    sp_gspmd: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -606,6 +647,7 @@ class MHLATransformerBlock(nn.Module):
             dropout=self.attn_dropout,
             sp_mesh=self.sp_mesh,
             sp_axis=self.sp_axis,
+            sp_gspmd=self.sp_gspmd,
             dtype=self.dtype,
             name="attn",
         )(y, attention_mask, deterministic=deterministic)
@@ -634,6 +676,7 @@ class SwitchableTransformerBlock(nn.Module):
     use_flash: Optional[bool] = None
     sp_mesh: Optional[object] = None
     sp_axis: str = "seq"
+    sp_gspmd: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -647,6 +690,7 @@ class SwitchableTransformerBlock(nn.Module):
                 dropout=self.attn_dropout,
                 sp_mesh=self.sp_mesh,
                 sp_axis=self.sp_axis,
+                sp_gspmd=self.sp_gspmd,
                 dtype=self.dtype,
                 name="attn",
             )(y, deterministic=deterministic)

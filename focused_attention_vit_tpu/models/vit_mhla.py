@@ -69,14 +69,16 @@ class VisionTransformerMHLA(nn.Module):
                 "pp_mesh (pipeline parallelism) requires scan_layers=True "
                 "(the pipeline consumes the stacked block params)"
             )
-        if self.pp_mesh is not None and self.sp_mesh is not None:
-            raise NotImplementedError(
-                "sp_mesh and pp_mesh cannot be combined: the halo-exchange "
-                "attention would need a shard_map nested inside the "
-                "pipeline's manual region, which the SPMD lowering does "
-                "not support (axis re-binding). Pick SP (long-S scaling) "
-                "or PP (depth scaling); both compose with DP and TP."
-            )
+        # SP×PP (round 5): a shard_map nested inside the pipeline's
+        # manual region is rejected by the Shardy lowering ("operates on
+        # axis ... already bound by a parent sdy.manual_computation"), so
+        # under PP the sequence axis stays AUTO — blocks run the XLA
+        # shift band with tokens sharding-constrained over sp_axis and
+        # GSPMD inserts the halo collectives (MultiHeadLatentAttention
+        # sp_gspmd). Same numerics as the manual halo path (it is the
+        # single-device band, partitioned); pinned by
+        # tests/test_parallel.py::TestPipelineParallel sp×pp twins.
+        sp_gspmd = self.pp_mesh is not None and self.sp_mesh is not None
         self.patch_embed = PatchEmbedding(
             patch_size=self.patch_size,
             embed_dim=self.embed_dim,
@@ -106,6 +108,7 @@ class VisionTransformerMHLA(nn.Module):
             use_flash=self.use_flash,
             sp_mesh=self.sp_mesh,
             sp_axis=self.sp_axis,
+            sp_gspmd=sp_gspmd,
             dtype=self.dtype,
         )
         if self.scan_layers:

@@ -775,15 +775,85 @@ class TestPipelineParallel:
         for a, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
 
-    def test_sp_pp_combination_raises(self):
-        """SP×PP would nest manual regions (unsupported by the SPMD
-        lowering) — pinned as a loud NotImplementedError."""
+    def test_sp_pp_forward_and_grads_match_unsharded(self):
+        """SP×PP (round 5): under PP the sequence axis stays AUTO — the
+        block runs the XLA shift band with a GSPMD 'seq' constraint
+        instead of the manual halo shard_map (Shardy rejects a nested
+        manual region: "operates on axis ... already bound by a parent
+        sdy.manual_computation"). Forward and grads must equal the
+        unsharded model."""
         mesh = make_mesh(8, tp=1, sp=2, pp=2)
         model = fmodels.VisionTransformerMHLA(
             **self.KW, sp_mesh=mesh, pp_mesh=mesh
         )
-        with pytest.raises(NotImplementedError, match="cannot be combined"):
-            model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        base = fmodels.VisionTransformerMHLA(**self.KW)
+        x = self._data()[:4]
+        params = base.init(jax.random.PRNGKey(0), x[:1])["params"]
+
+        def loss(model):
+            return lambda p: (
+                model.apply({"params": p}, x).astype(jnp.float32) ** 2
+            ).sum()
+
+        ref = jax.jit(lambda p: base.apply({"params": p}, x))(params)
+        g_ref = jax.jit(jax.grad(loss(base)))(params)
+        ps = shard_params(jax.tree.map(jnp.copy, params), mesh)
+        got = jax.jit(lambda p: model.apply({"params": p}, x))(ps)
+        # grad under jit, as every production path runs it: eagerly each
+        # op is its own pjit and the uneven token constraint (S=65 over
+        # 2 'seq' shards) would be enforced as a pjit OUTPUT sharding.
+        g_got = jax.jit(jax.grad(loss(model)))(ps)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+        for a, b_ in zip(jax.tree.leaves(g_got), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-3, rtol=1e-3
+            )
+
+    def test_sp_pp_train_trajectory_matches_single_device(self):
+        """Two AdamW steps with DP × SP × PP == the unsharded steps."""
+        x_u8 = jnp.asarray(
+            np.random.default_rng(1).integers(0, 255, size=(8, 32, 32, 3)),
+            dtype=jnp.uint8,
+        )
+        y = jnp.asarray(
+            np.random.default_rng(2).integers(0, 10, size=(8,))
+        )
+        mesh = make_mesh(8, tp=1, sp=2, pp=2)
+        base = fmodels.VisionTransformerMHLA(**self.KW)
+        sp_pp_model = fmodels.VisionTransformerMHLA(
+            **self.KW, sp_mesh=mesh, pp_mesh=mesh
+        )
+        params0 = base.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+        )["params"]
+        tx = optax.adamw(1e-3)
+
+        def run(model, mesh_):
+            params = shard_params(
+                jax.tree.map(jnp.copy, params0), mesh_
+            )
+            opt_state = tx.init(params)
+            step = make_sharded_train_step(
+                model, tx, mesh_, img_size=32, augment=False
+            )
+            xs = jax.device_put(x_u8, NamedSharding(mesh_, P("data")))
+            ys = jax.device_put(y, NamedSharding(mesh_, P("data")))
+            key = jax.device_put(
+                jax.random.PRNGKey(0), NamedSharding(mesh_, P())
+            )
+            for _ in range(2):
+                params, opt_state, m = step(params, opt_state, xs, ys, key)
+            return params, float(m["loss"])
+
+        p_n, loss_n = run(sp_pp_model, mesh)
+        p_1, loss_1 = run(base, make_mesh(1))
+        np.testing.assert_allclose(loss_n, loss_1, rtol=1e-5)
+        for a, b_ in zip(jax.tree.leaves(p_n), jax.tree.leaves(p_1)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-3, rtol=1e-3
+            )
 
     def test_pretrained_mhla_model_sp_matches_unsharded(self):
         """PretrainedViTWithMHLA (M16 — default geometry patch 4, the
