@@ -160,7 +160,9 @@ def parse_args(argv=None):
                              "divide --num_devices (with --tp/--sp) and "
                              "the depth. GPipe fill-drain over the block "
                              "stack (parallel/pipeline.py); requires "
-                             "--scan_layers")
+                             "--scan_layers. Composes with --sp: under the "
+                             "pipeline the sequence axis rides GSPMD "
+                             "(models/layers.py sp_gspmd)")
     parser.add_argument("--microbatch", type=int, default=None,
                         help="Gradient-accumulation chunk inside the jitted "
                              "train step (identical batch math; smaller "

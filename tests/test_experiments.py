@@ -447,6 +447,36 @@ def test_mhla_pretrained_scan_layers_pp(dirs):
     )
 
 
+@pytest.mark.slow
+def test_mhla_pretrained_sp_pp_composition(dirs):
+    """--sp 2 --pp 2 through the full experiment path (round 5): under
+    the pipeline the sequence axis rides GSPMD (models/layers.py
+    sp_gspmd — Shardy rejects nested manual regions), composed with DP.
+    img 32 / patch 4 → S=65 > 2W so the banded path is actually
+    exercised, not the tiny-S gather fallback."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    e = exp.PretrainedMHLAViTExperiment(
+        **{**TINY, "img_size": 32, "depth": 2, "batch_size": 8,
+           "subset_size": 16},
+        **dirs,
+        window_size=5,
+        scan_layers=True,
+        num_devices=8,
+        sp=2,
+        pp=2,
+    )
+    e.run()
+    assert dict(e.mesh.shape) == {
+        "data": 2, "model": 1, "seq": 2, "stage": 2
+    }
+    assert os.path.exists(
+        os.path.join(dirs["results_dir"], "exp4_pretrained_mhla.csv")
+    )
+
+
 def test_mhla_auto_microbatch_geometry_rule(dirs):
     """MHLA experiments: auto-microbatch is 16 at short S (dense band
     path) and 1 at long S (roll-kernel band path — measured best at
