@@ -954,6 +954,11 @@ class TestFSDP:
         # fc1 is sharded over 'data' AND 'model', so the per-device shard
         # is 1/8 of the leaf at either tp (dp*tp = 8).
         assert fc1.addressable_shards[0].data.size * 8 == fc1.size
+        self._assert_params_close(single, meshed)
+        return
+
+    @staticmethod
+    def _assert_params_close(single, meshed):
 
         for (p1, a), (p2, b) in zip(
             jax.tree_util.tree_flatten_with_path(single.params)[0],
@@ -963,6 +968,49 @@ class TestFSDP:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=2e-5, err_msg=str(p1)
             )
+
+    def test_fsdp_sp_trajectory_matches_single_device(self):
+        """FSDP × SP (round 5 — the one pairwise composition previously
+        untested): ZeRO-3 params/moments over 'data' + halo-exchange band
+        attention over 'seq' track the single-device trajectory. img 32 /
+        patch 4 → S=65 > 2W so the banded SP path actually runs."""
+        from focused_attention_vit_tpu.parallel import state_shardings
+
+        mesh = make_mesh(8, tp=1, sp=2)
+        kw = dict(
+            img_size=32, patch_size=4, num_classes=5, embed_dim=32,
+            depth=2, num_heads=4, window_size=7, use_mhla=True,
+        )
+        base = fmodels.VisionTransformerMHLA(**kw)
+        sp_model = fmodels.VisionTransformerMHLA(**kw, sp_mesh=mesh)
+        rng = np.random.default_rng(0)
+        x_u8 = jnp.asarray(
+            rng.integers(0, 255, size=(8, 32, 32, 3)), dtype=jnp.uint8
+        )
+        y = jnp.asarray(rng.integers(0, 5, size=(8,)))
+        params = base.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+        )["params"]
+        key = jax.random.PRNGKey(3)
+
+        single = _fresh_state(base, params)
+        step1 = make_train_step(32, augment=True)
+        meshed = shard_state(
+            _fresh_state(sp_model, params), mesh, fsdp=True
+        )
+        sh = state_shardings(meshed, mesh, fsdp=True)
+        step2 = make_train_step(
+            32, augment=True, mesh=mesh, state_sharding=sh
+        )
+
+        for i in range(2):
+            k = jax.random.fold_in(key, i)
+            single, m1 = step1(single, x_u8, y, k)
+            meshed, m2 = step2(meshed, x_u8, y, k)
+            np.testing.assert_allclose(
+                float(m1["loss_sum"]), float(m2["loss_sum"]), rtol=1e-4
+            )
+        self._assert_params_close(single, meshed)
 
     def test_fsdp_pp_trajectory_matches_single_device(self):
         """FSDP × pipeline parallelism EXECUTED (not just rule-pinned):
