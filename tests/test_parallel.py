@@ -775,14 +775,16 @@ class TestPipelineParallel:
         for a, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
 
-    def test_sp_pp_forward_and_grads_match_unsharded(self):
+    @pytest.mark.parametrize("tp", [1, 2])
+    def test_sp_pp_forward_and_grads_match_unsharded(self, tp):
         """SP×PP (round 5): under PP the sequence axis stays AUTO — the
         block runs the XLA shift band with a GSPMD 'seq' constraint
         instead of the manual halo shard_map (Shardy rejects a nested
         manual region: "operates on axis ... already bound by a parent
         sdy.manual_computation"). Forward and grads must equal the
-        unsharded model."""
-        mesh = make_mesh(8, tp=1, sp=2, pp=2)
+        unsharded model. tp=2 exercises the full TP×SP×PP stack (Megatron
+        head/MLP dims on 'model' inside the pipeline, tokens on 'seq')."""
+        mesh = make_mesh(8, tp=tp, sp=2, pp=2)
         model = fmodels.VisionTransformerMHLA(
             **self.KW, sp_mesh=mesh, pp_mesh=mesh
         )
