@@ -54,6 +54,33 @@ def test_artifact_round_trip_matches_live(tmp_path):
     assert ids.shape == (13,) and (conf <= 1.0).all()
 
 
+def test_long_s_mhla_artifact_round_trip(tmp_path):
+    """Long-S windowed-MHLA export (round 5): S=785 > DENSE_BAND_MAX_SEQ
+    exercises the banded dispatch inside jax.export. Kernel dispatch
+    resolves at TRACE time — exporting from a CPU process lowers the XLA
+    shift band for BOTH platforms (the TPU-only Pallas roll kernel is
+    never baked into a multi-platform artifact), so the artifact loads
+    and reproduces the live Predictor everywhere."""
+    model = fmodels.VisionTransformerMHLA(
+        img_size=112, patch_size=4, num_classes=5, embed_dim=32,
+        depth=1, num_heads=2, window_size=7, use_mhla=True,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3))
+    )["params"]
+    pred = Predictor(
+        model, params, img_size=112, batch_size=4,
+        compute_dtype=jnp.float32,
+    )
+    out = save_serving_artifact(pred, str(tmp_path / "art"))
+    loaded = load_serving_artifact(out)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, size=(4, 112, 112, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        loaded.predict_proba(imgs), pred.predict_proba(imgs)
+    )
+
+
 def test_artifact_loads_without_model_code(tmp_path):
     """The loader touches only jax/flax-serialization — no framework model
     classes. Pin that by checking the artifact contents are sufficient:
