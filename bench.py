@@ -331,7 +331,9 @@ def main():
             "mfu": round(mfu, 4),
             "mfu_note": "3x fwd matmul FLOPs (2/MAC) vs 197 TF/s nameplate",
             # value keys are MEDIANS of `repeats` timed windows on one
-            # compiled step; *_spread = max-min across those windows.
+            # compiled step; *_spread = max-min across those windows
+            # (bare "spread" belongs to the top-level headline "value" —
+            # the ViT leg).
             "repeats": repeats,
             "spread": round(vit_spread, 2),
             "mhla_spread": round(mhla_spread, 2),

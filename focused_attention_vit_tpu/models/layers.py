@@ -455,10 +455,18 @@ class MultiHeadLatentAttention(nn.Module):
             and s > 2 * self.window_size
         ):
             # SP×PP: GSPMD sequence sharding (see the sp_gspmd field doc).
-            # Numerically this IS the single-device shift band — the
-            # constraint only tells the partitioner where the token axis
-            # lives; masks and train-mode band-weight dropout ride the
-            # same paths as the single-device branches below.
+            # Deterministic numerics are EXACTLY the single-device shift
+            # band — the constraint only tells the partitioner where the
+            # token axis lives; attention masks ride the same _banded_mask
+            # path. Train-mode dropout keeps the reference's rate and
+            # per-slot semantics via the shift band's weights_transform,
+            # but its MASK STREAM is its own: at 2W < S ≤ 512 the
+            # single-device train path draws one Bernoulli per MERGED
+            # edge weight (_dense_band_attention) vs per duplicated slot
+            # here — same rate, different stream. RNG stream parity
+            # across shardings is explicitly not promised (SURVEY §7;
+            # the manual-halo SP path folds per-shard keys for the same
+            # reason), so trajectory-equality twins run dropout=0.
             amesh = jax.sharding.get_abstract_mesh()
             if amesh is not None and self.sp_axis in getattr(
                 amesh, "axis_names", ()

@@ -957,11 +957,9 @@ class TestFSDP:
         # is 1/8 of the leaf at either tp (dp*tp = 8).
         assert fc1.addressable_shards[0].data.size * 8 == fc1.size
         self._assert_params_close(single, meshed)
-        return
 
     @staticmethod
     def _assert_params_close(single, meshed):
-
         for (p1, a), (p2, b) in zip(
             jax.tree_util.tree_flatten_with_path(single.params)[0],
             jax.tree_util.tree_flatten_with_path(meshed.params)[0],
